@@ -1,0 +1,10 @@
+import pytest
+
+from smartlogic_concordance_transformer_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="pytest", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
