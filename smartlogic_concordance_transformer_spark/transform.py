@@ -310,13 +310,20 @@ def fold_stage(ids: DataFrame) -> DataFrame:
     return agg
 
 
-def transform(source: DataFrame, content_col: str = "content") -> tuple[DataFrame, DataFrame]:
+def transform(
+    source: DataFrame, content_col: str = "content", carry: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame]:
     """Full pipeline: source table -> (concordances DF, quarantine DF).
 
     concordances: doc_key, concept_uuid, authority, concordances (array),
-                  upp_json (byte-exact), op ('upsert'|'delete')
-    quarantine:   doc_key, concept_uuid, status, http_code, error
+                  upp_json (byte-exact), op ('upsert'|'delete') [+ carry]
+    quarantine:   doc_key, concept_uuid, status, http_code, error [+ carry]
+
+    ``carry`` columns from the source (e.g. the partition bucket, repo,
+    path) ride through to both outputs — doc-level attributes never enter
+    the exploded id relation, so carrying them is free.
     """
+    carry = tuple(carry)
     parsed = doc_validate(parse_stage(source, content_col))
     parsed = parsed.persist()
 
@@ -327,7 +334,7 @@ def transform(source: DataFrame, content_col: str = "content") -> tuple[DataFram
     folded = fold_stage(ids)
 
     assembled = (
-        doc_ok.select("doc_key", "concept_uuid", "concept_authority")
+        doc_ok.select("doc_key", "concept_uuid", "concept_authority", *carry)
         .join(folded, "doc_key", "left")  # left: docs with zero ids keep an empty array
         .withColumn(
             "concordances",
@@ -343,12 +350,14 @@ def transform(source: DataFrame, content_col: str = "content") -> tuple[DataFram
         "concept_uuid",
         F.col("id_error")["status"].alias("status"),
         F.col("id_error")["error"].alias("error"),
+        *carry,
     )
     quarantine = doc_bad.select(
         "doc_key",
         "concept_uuid",
         F.col("doc_error")["status"].alias("status"),
         F.col("doc_error")["error"].alias("error"),
+        *carry,
     ).unionByName(id_bad)
     quarantine = quarantine.withColumn(
         "http_code",
@@ -362,6 +371,7 @@ def transform(source: DataFrame, content_col: str = "content") -> tuple[DataFram
         "concept_uuid",
         F.col("concept_authority").alias("authority"),
         "concordances",
+        *carry,
     )
     # E1: byte-exact UPP JSON — key order = Go struct order (model.go:50-60);
     # empty list stays [] (service.go:146). to_json of struct preserves

@@ -1,0 +1,92 @@
+"""Connected-components property tests: Spark label propagation vs a plain
+Python union-find oracle on seeded random graphs (SURVEY.md section 5)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartlogic_concordance_transformer_spark.cc import (
+    ConvergenceError,
+    canonical_triples,
+    connected_components,
+)
+
+
+def union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for u, v in edges:
+        union(u, v)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 50, 40), (2, 200, 150), (3, 300, 600)])
+def test_cc_matches_union_find(spark, seed, n_nodes, n_edges):
+    rng = random.Random(seed)
+    edges = [
+        (f"n{rng.randrange(n_nodes):04d}", f"n{rng.randrange(n_nodes):04d}")
+        for _ in range(n_edges)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    expected = union_find_components(edges)
+    # canonical root per component = min node id
+    comp_min = {}
+    for n, root in expected.items():
+        comp_min.setdefault(root, n)
+        comp_min[root] = min(comp_min[root], n)
+    expected_canon = {n: comp_min[root] for n, root in expected.items()}
+
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == expected_canon
+
+
+def test_cc_long_chain(spark):
+    # path graph: worst case for naive propagation; must still converge
+    chain = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(40)]
+    df = spark.createDataFrame(chain, "subj string, obj string")
+    got = {r.node: r.component for r in connected_components(df, max_iter=50).collect()}
+    assert set(got.values()) == {"c000"}
+    assert len(got) == 41
+
+
+def test_cc_salted_equals_unsalted(spark):
+    rng = random.Random(9)
+    edges = [("hub", f"x{i}") for i in range(200)] + [
+        (f"x{rng.randrange(200)}", f"y{i}") for i in range(100)
+    ]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    plain = {r.node: r.component for r in connected_components(df).collect()}
+    salted = {r.node: r.component for r in connected_components(df, salt=8).collect()}
+    assert plain == salted
+
+
+def test_cc_convergence_guard(spark):
+    chain = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(30)]
+    df = spark.createDataFrame(chain, "subj string, obj string")
+    with pytest.raises(ConvergenceError):
+        connected_components(df, max_iter=2)
+
+
+def test_canonical_triples_shape(spark):
+    edges = [("b", "a"), ("b", "c"), ("d", "e")]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    rows = {(r.subj, r.pred, r.obj) for r in canonical_triples(df).collect()}
+    assert rows == {
+        ("a", "concordsWith", "b"),
+        ("a", "concordsWith", "c"),
+        ("d", "concordsWith", "e"),
+    }

@@ -1,0 +1,87 @@
+"""End-to-end pipeline + checkpoint/resume semantics over the synthetic
+source generator."""
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from smartlogic_concordance_transformer_spark.gen import generate_source_repos
+from smartlogic_concordance_transformer_spark.io_tables import CheckpointLedger
+from smartlogic_concordance_transformer_spark.pipeline import run_pipeline
+
+N_DOCS = 1500
+N_BUCKETS = 8
+
+
+def _triples_set(spark, root):
+    return {
+        (r.subj, r.pred, r.obj, r.op)
+        for r in spark.read.parquet(os.path.join(root, "triples")).collect()
+    }
+
+
+def test_generator_is_deterministic(spark):
+    a = generate_source_repos(spark, 200, seed=5).orderBy("path").collect()
+    b = generate_source_repos(spark, 200, seed=5).orderBy("path").collect()
+    assert a == b
+    c = generate_source_repos(spark, 200, seed=6).orderBy("path").collect()
+    assert a != c
+
+
+def test_generator_covers_all_scenarios(spark):
+    src = generate_source_repos(spark, 2000, seed=11)
+    from smartlogic_concordance_transformer_spark.transform import transform
+
+    good, quar = transform(src)
+    statuses = {r.status for r in quar.select("status").distinct().collect()}
+    assert statuses == {"SyntacticallyIncorrect", "SemanticallyIncorrect"}
+    ops = {r.op for r in good.select("op").distinct().collect()}
+    assert ops == {"upsert", "delete"}
+    errors = " | ".join(r.error for r in quar.select("error").distinct().collect())
+    for marker in (
+        "duplicate TME id values",
+        "is not a valid TME Id",
+        "Type has not been set",
+        "concept type not allowed",
+        "More than 1 concept",
+        "does not support concordance",
+        "Missing/invalid @graph field",
+        "invalid json",
+    ):
+        assert marker in errors, marker
+
+
+def test_pipeline_run_and_resume(spark, tmp_path):
+    out = str(tmp_path / "kg")
+    src = generate_source_repos(spark, N_DOCS, seed=7)
+    m1 = run_pipeline(spark, src, out, n_buckets=N_BUCKETS)
+    assert set(CheckpointLedger(out).done_buckets()) == set(range(N_BUCKETS))
+    baseline = _triples_set(spark, out)
+    assert baseline
+    assert m1["totals"].get("docs_valid", 0) > 0
+    assert m1["totals"].get("docs_SyntacticallyIncorrect", 0) > 0
+    assert os.path.exists(os.path.join(out, "run_manifest.json"))
+
+    # Kill-simulation: drop two buckets' ledger entries; resume must
+    # recompute exactly those and leave the final table identical.
+    for b in (1, 4):
+        os.remove(os.path.join(out, "_ledger", f"bucket={b}.json"))
+    m2 = run_pipeline(spark, src, out, n_buckets=N_BUCKETS)
+    assert set(CheckpointLedger(out).done_buckets()) == set(range(N_BUCKETS))
+    assert _triples_set(spark, out) == baseline
+    # resume run only touched the two pending buckets, and the merged
+    # manifest still carries the full-run totals
+    assert {int(b) for b in m2["touched_buckets"]} <= {1, 4}
+    assert m2["totals"] == m1["totals"]
+
+
+def test_resume_noop_when_all_done(spark, tmp_path):
+    out = str(tmp_path / "kg2")
+    src = generate_source_repos(spark, 300, seed=3)
+    run_pipeline(spark, src, out, n_buckets=4, run_cc=False)
+    before = _triples_set(spark, out)
+    m = run_pipeline(spark, src, out, n_buckets=4, run_cc=False)
+    assert _triples_set(spark, out) == before
+    assert m["touched_buckets"] == []
