@@ -1,38 +1,470 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction query at sf0.001.
+``queries()`` exposes one entry per implemented operator family
+(SURVEY.md section 2 + the training-data pipeline ops); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one. Column
+names and types are aligned pairwise (the driver hash-compares values
+after sorting columns by name).
+
+Synthetic KG inputs are derived deterministically from the ``documents``
+table (doc_id/source), so both engines compute over identical rows with
+no side-channel data.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smartlogic_concordance_transformer_spark.datapipe.dedup import exact_dedup
+from smartlogic_concordance_transformer_spark.datapipe.similarity import brute_force_topk
+from smartlogic_concordance_transformer_spark.datapipe.text import (
+    STOPWORDS,
+    detect_language,
+    fingerprint,
+    quality_score,
+    token_count,
+)
+from smartlogic_concordance_transformer_spark.session import _ship_package
+from smartlogic_concordance_transformer_spark.transform import transform
+from smartlogic_concordance_transformer_spark.triples import emit_triples
+from smartlogic_concordance_transformer_spark.cc import connected_components
+from smartlogic_concordance_transformer_spark.uuids import (
+    ft_factset_uuid,
+    ft_md5_uuid,
+    ft_md5_uuid_sql,
+)
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    app = spark.sparkContext.applicationId
+    if app not in _SHIPPED_APPS:
+        _ship_package(spark)
+        _SHIPPED_APPS.add(app)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---- synthetic KG source (identical construction in the DuckDB oracles) --
+
+# hyphenated (non-v3) uuid from md5 — concept @id uuids
+def _hy(expr: str) -> str:
+    h = f"md5({expr})"
+    return (
+        f"substr({h},1,8) || '-' || substr({h},9,4) || '-' || substr({h},13,4)"
+        f" || '-' || substr({h},17,4) || '-' || substr({h},21,12)"
+    )
+
+
+_CUUID_SPARK = _hy("concat('doc', cast(doc_id as string))")
+_CUUID_DUCK = _hy("'doc' || cast(doc_id as varchar)")
+_TME_SPARK = "concat(source, '-', cast(doc_id as string))"
+_TME_DUCK = "source || '-' || cast(doc_id as varchar)"
+_WD_SPARK = "concat('http://www.wikidata.org/entity/Q', cast(doc_id as string))"
+_WD_DUCK = "'http://www.wikidata.org/entity/Q' || cast(doc_id as varchar)"
+
+
+def _kg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> source_repos rows with valid editorial payloads
+    (1 TME id + 1 wikidata id per doc)."""
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "concat('synthetic/', source) as repo",
+        "concat('concepts/', doc_id, '.json') as path",
+        "substr(sha2(concat('c', doc_id), 256), 1, 40) as commit",
+        "'json' as lang",
+        f"""concat('{{"@graph":[{{"@id":"http://www.ft.com/thing/', {_CUUID_SPARK},
+            '","@type":["http://www.ft.com/ontology/Brand"],',
+            '"http://www.ft.com/ontology/TMEIdentifier":[{{"@value":"', {_TME_SPARK}, '"}}],',
+            '"http://www.ft.com/ontology/wikidataIdentifier":[{{"@type":"xsd:anyURI","@value":"',
+            {_WD_SPARK}, '"}}]}}]}}') as content""",
+    )
+
+
+def _kg_bad_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> five invalid payload shapes keyed on doc_id % 5."""
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"""case pmod(doc_id, 5)
+          when 0 then concat('{{"@graph":[{{"@id":"http://www.ft.com/thing/', {_CUUID_SPARK}, '"}}]}}')
+          when 1 then concat('{{"@graph":[{{"@id":"http://www.ft.com/thing/', {_CUUID_SPARK},
+                             '","@type":["skos:Concept"]}}]}}')
+          when 2 then concat('{{"@graph":[{{"@id":"http://www.ft.com/thing/', {_CUUID_SPARK},
+                             '","@type":["t"]}},{{"@id":"x","@type":["t"]}}]}}')
+          when 3 then concat('{{"@graph":[{{"@id":"http://www.ft.com/thing/', {_CUUID_SPARK},
+                             '","@type":["http://www.ft.com/ontology/Brand"],',
+                             '"http://www.ft.com/ontology/TMEIdentifier":[{{"@value":"a-b-c"}}]}}]}}')
+          else '{{"x": 1}}'
+        end as content""",
+    )
+
+
+# ---- queries ------------------------------------------------------------
+
+
+def q_kg_upp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
+    good, _ = transform(_kg_source(spark, sf_dir), carry=("doc_id",))
+    return good.select("doc_id", "upp_json").orderBy("doc_id")
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
+    good, _ = transform(_kg_source(spark, sf_dir), carry=("doc_id",))
+    t = emit_triples(good, carry=("doc_id",))
+    return t.select("doc_id", "subj", "pred", "obj")
+
+
+def q_kg_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
+    _, quar = transform(_kg_bad_source(spark, sf_dir), carry=("doc_id",))
+    return quar.groupBy("status", "http_code").agg(F.count("*").alias("n"))
+
+
+def q_kg_uuid_tme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ft_md5_uuid(F.expr(_TME_SPARK)).alias("tme_uuid"),
+        ft_md5_uuid(F.expr(_WD_SPARK)).alias("wikidata_uuid"),
+    )
+
+
+def q_kg_uuid_factset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # double-MD5 kernel: not DuckDB-expressible (md5 is VARCHAR-only there)
+    # -> rows-only check; pinned by pytest goldens instead.
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ft_factset_uuid(
+            F.expr("concat('0', upper(substr(md5(cast(doc_id as string)), 1, 5)), '-E')")
+        ).alias("factset_uuid"),
+    )
+
+
+def q_kg_validate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"cast({_TME_SPARK} rlike '^[^-]+-[^-]+$' as boolean) as tme_valid",
+        "cast(concat('x', cast(doc_id as string)) rlike '^[^-]+-[^-]+$' as boolean) as tme_invalid_probe",
+        "cast(concat('0', lpad(cast(doc_id as string), 5, '0'), '-E') rlike '^0.{5}-E$' as boolean) as factset_valid",
+    )
+
+
+def q_kg_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _docs(spark, sf_dir).selectExpr(
+        "concat('d', lpad(cast(doc_id as string), 8, '0')) as subj",
+        "concat('g', lpad(cast(pmod(doc_id, 50) as string), 4, '0')) as obj",
+    )
+    return connected_components(edges)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
+_MINHASH_SEEDS = 8
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = F.explode(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    ).alias("w")
+    exploded = _docs(spark, sf_dir).select("doc_id", words)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("w")))).alias(f"m{j}")
+        for j in range(_MINHASH_SEEDS)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id",
+        F.concat_ws("|", *[F.col(f"m{j}") for j in range(_MINHASH_SEEDS)]).alias("signature"),
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+        ).alias("w"),
+    )
+    a = d.select(F.col("doc_id").alias("a"), F.col("w").alias("wa"))
+    b = d.select((F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b"), F.col("w").alias("wb"))
+    j = a.join(b, "a")
+    return j.select(
+        "a",
+        "b",
+        F.round(
+            F.size(F.array_intersect("wa", "wb")) / F.size(F.array_union("wa", "wb")), 6
+        ).alias("jaccard"),
+    )
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", token_count("text").alias("n_tokens"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", quality_score("text").alias("quality"))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", detect_language("text").alias("lang_pred"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"))
+
+
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+            ).cast("double").alias("sum_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    totals = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    joined = totals.join(F.broadcast(c), totals.o_custkey == c.c_custkey)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("total"), F.col("c_custkey"))
+    return (
+        joined.select("c_custkey", "c_mktsegment", "total", "n_orders")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG transform over synthetic payloads at sf0.001."""
+    return q_kg_upp_json(spark, DEFAULT_SF)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_upp_json": q_kg_upp_json,
+        "kg_triples": q_kg_triples,
+        "kg_quarantine": q_kg_quarantine,
+        "kg_uuid_tme": q_kg_uuid_tme,
+        "kg_uuid_factset": q_kg_uuid_factset,
+        "kg_validate_ids": q_kg_validate_ids,
+        "kg_cc": q_kg_cc,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_topk": q_sim_topk,
+        "agg_pricing": q_agg_pricing,
+        "join_top_customers": q_join_top_customers,
+        "events_by_type": q_events_by_type,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---- DuckDB oracles ------------------------------------------------------
+
+_TME_UUID_D = ft_md5_uuid_sql(_TME_DUCK)
+_WD_UUID_D = ft_md5_uuid_sql(_WD_DUCK)
+
+_NORM_WORDS_D = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+_TOKENS_D = (
+    "string_split_regex(lower(trim(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', ' ', 'g'))), '\\s+')"
+)
+
+
+def _langid_oracle() -> str:
+    hits = {
+        lang: f"len(list_intersect(list_distinct({_TOKENS_D}), "
+        f"[{', '.join(repr(w) for w in words)}]))"
+        for lang, words in STOPWORDS.items()
+    }
+    best = f"greatest({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']})"
+    return f"""
+      select doc_id,
+        case when {best} = 0 then 'und'
+             when {hits['en']} = {best} then 'en'
+             when {hits['de']} = {best} then 'de'
+             when {hits['fr']} = {best} then 'fr'
+             else 'es' end as lang_pred
+      from documents
     """
-    return {}
+
+
+def _quality_oracle() -> str:
+    en = ", ".join(repr(w) for w in STOPWORDS["en"])
+    return f"""
+      with t as (
+        select doc_id,
+          length(text) as n_chars,
+          len({_TOKENS_D}) as n_words,
+          length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) * 1.0 / greatest(length(text), 1) as alpha_ratio,
+          len(list_intersect(list_distinct({_TOKENS_D}), [{en}])) as stop_hits,
+          length(text) * 1.0 / greatest(len({_TOKENS_D}), 1) as mean_word_len
+        from documents)
+      select doc_id,
+        cast(((case when n_chars >= 200 and n_chars <= 100000 then 1.0
+                    when n_chars >= 50 then 0.5 else 0.0 end)
+            + (case when mean_word_len >= 3 and mean_word_len <= 12 then 1.0 else 0.0 end)
+            + (case when stop_hits >= 2 then 1.0 when stop_hits >= 1 then 0.5 else 0.0 end)
+            + (case when alpha_ratio >= 0.6 then 1.0 when alpha_ratio >= 0.4 then 0.5 else 0.0 end)
+             ) / 4 as double) as quality
+      from t
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    upp_json_d = f"""
+      '{{"authority":"Smartlogic","uuid":"' || {_CUUID_DUCK} || '","concordances":[' ||
+      '{{"authority":"TME","authorityValue":"' || {_TME_DUCK} || '","uuid":"' || {_TME_UUID_D} || '"}},' ||
+      '{{"authority":"Wikidata","authorityValue":"' || {_WD_DUCK} || '","uuid":"' || {_WD_UUID_D} || '"}}]}}'
     """
-    return {}
+    minhash_mins = ",\n".join(
+        f"min(md5('{j}:' || w)) as m{j}" for j in range(_MINHASH_SEEDS)
+    )
+    minhash_sig = " || '|' || ".join(f"m{j}" for j in range(_MINHASH_SEEDS))
+    return {
+        "kg_upp_json": f"select doc_id, {upp_json_d} as upp_json from documents order by doc_id",
+        "kg_triples": f"""
+          select doc_id, {_CUUID_DUCK} as subj, 'concordsWith' as pred, {_TME_UUID_D} as obj from documents
+          union all
+          select doc_id, {_CUUID_DUCK}, 'concordsWith', {_WD_UUID_D} from documents
+          union all
+          select doc_id, {_TME_UUID_D}, 'identifiesAs', 'TME:' || {_TME_DUCK} from documents
+          union all
+          select doc_id, {_WD_UUID_D}, 'identifiesAs', 'Wikidata:' || {_WD_DUCK} from documents
+        """,
+        "kg_quarantine": """
+          select case when doc_id % 5 in (0, 3) then 'SyntacticallyIncorrect'
+                      else 'SemanticallyIncorrect' end as status,
+                 case when doc_id % 5 in (0, 3) then 400 else 422 end as http_code,
+                 count(*) as n
+          from documents group by 1, 2
+        """,
+        "kg_uuid_tme": f"""
+          select doc_id, {_TME_UUID_D} as tme_uuid, {_WD_UUID_D} as wikidata_uuid from documents
+        """,
+        "kg_validate_ids": f"""
+          select doc_id,
+            regexp_matches({_TME_DUCK}, '^[^-]+-[^-]+$') as tme_valid,
+            regexp_matches('x' || cast(doc_id as varchar), '^[^-]+-[^-]+$') as tme_invalid_probe,
+            regexp_matches('0' || lpad(cast(doc_id as varchar), 5, '0') || '-E', '^0.{{5}}-E$') as factset_valid
+          from documents
+        """,
+        "kg_cc": """
+          with g as (select doc_id, doc_id % 50 as grp from documents),
+          m as (select grp, 'd' || lpad(cast(min(doc_id) as varchar), 8, '0') as component
+                from g group by grp)
+          select 'd' || lpad(cast(doc_id as varchar), 8, '0') as node, component
+          from g join m using (grp)
+          union all
+          select distinct 'g' || lpad(cast(grp as varchar), 4, '0'), component
+          from g join m using (grp)
+        """,
+        "dedup_exact": """
+          select doc_id from (
+            select doc_id, row_number() over (partition by sha256(text) order by doc_id) as rn
+            from documents) where rn = 1
+        """,
+        "dedup_minhash": f"""
+          with w as (select doc_id, unnest({_NORM_WORDS_D}) as w from documents),
+          m as (select doc_id, {minhash_mins} from w group by doc_id)
+          select doc_id, {minhash_sig} as signature from m
+        """,
+        "dedup_jaccard": f"""
+          with d as (select doc_id, list_distinct({_NORM_WORDS_D}) as w from documents)
+          select a.doc_id as a, b.doc_id as b,
+                 round(len(list_intersect(a.w, b.w)) * 1.0
+                       / len(list_distinct(list_concat(a.w, b.w))), 6) as jaccard
+          from d a join d b on b.doc_id = a.doc_id + 1
+        """,
+        "text_tokens": "select doc_id, len(string_split_regex(trim(text), '\\s+')) as n_tokens from documents",
+        "text_quality": _quality_oracle(),
+        "text_langid": _langid_oracle(),
+        "text_fingerprint": (
+            "select doc_id, sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as fp from documents"
+        ),
+        "sim_topk": """
+          with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5),
+          s as (select q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.embedding) as score
+                from embeddings e cross join q)
+          select query_id, vec_id, rank from (
+            select query_id, vec_id,
+                   cast(row_number() over (partition by query_id order by score desc, vec_id) as int) as rank
+            from s) where rank <= 10
+        """,
+        "agg_pricing": """
+          select l_returnflag, l_linestatus,
+                 cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+                 cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base,
+                 cast(sum(cast(l_extendedprice as decimal(18,2))
+                          * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) as sum_disc,
+                 count(*) as n
+          from lineitem where l_quantity > 0
+          group by l_returnflag, l_linestatus
+        """,
+        "join_top_customers": """
+          with t as (select o_custkey,
+                            cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total,
+                            count(*) as n_orders
+                     from orders group by o_custkey)
+          select c_custkey, c_mktsegment, total, n_orders, rnk from (
+            select c.c_custkey, c.c_mktsegment, t.total, t.n_orders,
+                   cast(row_number() over (order by t.total desc, c.c_custkey) as int) as rnk
+            from t join customer c on t.o_custkey = c.c_custkey) where rnk <= 10
+        """,
+        "events_by_type": """
+          select event_type, count(*) as n,
+                 cast(sum(cast(value as decimal(18,4))) as double) as sum_value,
+                 count(distinct user_id) as n_users
+          from events group by event_type
+        """,
+    }

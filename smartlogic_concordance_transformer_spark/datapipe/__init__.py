@@ -1,0 +1,48 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's concordance transform, a 100 TB corpus engine needs
+corpus hygiene and retrieval primitives. All operators here follow the same
+rules as the KG pipeline: native Column expressions in the hot path,
+Arrow-batched pandas UDFs only where built-ins genuinely can't express the
+semantics (simhash bit-majority, embedding matrix math, binary decode).
+"""
+
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_near_dups,
+)
+from .multimodal import FEATURE_SCHEMA, MEDIA_SCHEMA, extract_features, frame_sample_plan
+from .similarity import brute_force_topk, lsh_ann_topk
+from .text import (
+    detect_language,
+    fingerprint,
+    quality_score,
+    token_count,
+    winnowing_fingerprints,
+)
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_dups",
+    "brute_force_topk",
+    "lsh_ann_topk",
+    "detect_language",
+    "quality_score",
+    "token_count",
+    "fingerprint",
+    "winnowing_fingerprints",
+    "extract_features",
+    "frame_sample_plan",
+    "MEDIA_SCHEMA",
+    "FEATURE_SCHEMA",
+]

@@ -1,0 +1,200 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes:
+
+* exact: one hash + one groupBy (map-side combine) — the cheapest possible
+  full-corpus dedup; at 100 TB the shuffle carries only (hash, key) pairs.
+* MinHash/LSH: signatures are computed in one explode + two partial-agg
+  groupBys (never a cross join); candidate generation is a self-join on
+  (band, band_hash) buckets, i.e. proportional to collisions, not O(n^2).
+* SimHash: 64-bit fingerprints via one Arrow-batched pandas UDF (numpy
+  bit-packing); near-dup candidates by banding the fingerprint into 4
+  16-bit chunks (Hamming distance <= 3 guarantees one identical chunk).
+* n-gram Jaccard: exact verification on candidate pairs only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct text (lowest key wins). Returns the
+    surviving rows. Hash first so the shuffle carries 32 bytes, not the
+    document body."""
+    h = F.sha2(F.col(text_col), 256).alias("_content_hash")
+    w = Window.partitionBy("_content_hash").orderBy(key_col)
+    return (
+        df.withColumn("_content_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_content_hash", "_rn")
+    )
+
+
+def shingles(text: Column | str, k: int = 5, word_grams: bool = True) -> Column:
+    """Distinct k-gram shingle array, computed natively.
+
+    word_grams: k-word shingles over whitespace tokens (robust to
+    formatting); otherwise character k-grams.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.lower(F.regexp_replace(c, r"\s+", " "))
+    if word_grams:
+        toks = F.split(F.trim(norm), " ")
+        n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            )
+        )
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 64,
+    k: int = 5,
+    word_grams: bool = True,
+) -> DataFrame:
+    """(key, signature array<bigint>) — min over xxhash64(shingle, seed)
+    per seed. One explode + one groupBy; min is partially aggregatable so
+    the combine happens map-side."""
+    sh = df.select(key_col, F.explode(shingles(text_col, k, word_grams)).alias("_sh"))
+    mins = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(seed))).alias(f"_h{seed}")
+        for seed in range(num_hashes)
+    ]
+    agg = sh.groupBy(key_col).agg(*mins)
+    return agg.select(
+        key_col, F.array(*[F.col(f"_h{s}") for s in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    key_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) from banded LSH buckets.
+
+    Two docs collide if any band of their signatures is identical. The
+    join key is (band_id, hash(band slice)) — bucket sizes stay small, and
+    AQE splits any hot bucket."""
+    banded = signatures.select(
+        key_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(F.col(key_col).alias("a"), "band", "band_hash")
+    b = banded.select(F.col(key_col).alias("b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 5,
+    word_grams: bool = True,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs: (a, b, jaccard).
+
+    The shingle table is joined twice; each side is a broadcast-or-shuffle
+    hash join on the key — no cross product."""
+    sh = df.select(F.col(key_col).alias("_k"), shingles(text_col, k, word_grams).alias("_s"))
+    joined = (
+        pairs.join(sh.withColumnRenamed("_k", "a").withColumnRenamed("_s", "_sa"), "a")
+        .join(sh.withColumnRenamed("_k", "b").withColumnRenamed("_s", "_sb"), "b")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+@pandas_udf(T.LongType())
+def _simhash64(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over token arrays: per-token FNV-ish hash, bitwise
+    majority vote. Vectorized per Arrow batch with numpy."""
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for i, toks in enumerate(tokens):
+        if toks is None or len(toks) == 0:
+            continue
+        hs = np.array(
+            [np.int64(np.uint64(hash_str_64(t))) for t in toks], dtype=np.int64
+        ).view(np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(hs)
+        fp = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(fp)
+    return pd.Series(out)
+
+
+def hash_str_64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (stable across workers, unlike
+    Python's salted hash())."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
+    return df.select(key_col, _simhash64(toks).alias("simhash"))
+
+
+def simhash_near_dups(fps: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs with Hamming distance <= 3 via 4x16-bit banding
+    (pigeonhole: <=3 differing bits leave at least one band identical),
+    then exact popcount filter."""
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ]
+    )
+    banded = fps.select(key_col, "simhash", F.posexplode(chunks).alias("band", "chunk"))
+    a = banded.select(F.col(key_col).alias("a"), F.col("simhash").alias("fa"), "band", "chunk")
+    b = banded.select(F.col(key_col).alias("b"), F.col("simhash").alias("fb"), "band", "chunk")
+    cand = a.join(b, ["band", "chunk"]).filter(F.col("a") < F.col("b")).select("a", "b", "fa", "fb").distinct()
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 3).select("a", "b", "hamming")

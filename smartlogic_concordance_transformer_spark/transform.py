@@ -8,30 +8,33 @@ DBPedia -> Geonames -> Wikidata), deriving a UUID per id, erroring on the
 first invalid/duplicate/self-concordant id (TME/FACTSET) or skipping
 blanks/duplicates (locations).
 
-Spark-first re-expression — **no UDFs, pure Column expressions**:
+Spark-first re-expression — **zero shuffles, no UDFs** (beyond the parse
+stage's single pandas UDF): every document's fold happens *inside the row*
+with higher-order array functions:
 
-1.  doc-level envelope checks -> a ``doc_error`` struct via ``when`` chains;
-2.  ``posexplode`` each authority array with an ``authority_rank`` literal
-    -> one long (doc, rank, pos, authority, value) relation;
-3.  derive UUIDs natively (md5 kernels, whole-stage codegen);
-4.  duplicate detection with one window over (doc, derived_uuid) ordered by
-    (rank, pos) — Go's first-occurrence-wins fold becomes ``row_number``;
-5.  the reference's "error on FIRST bad id in payload order" becomes
-    ``min_by((rank, pos))`` over per-id error flags;
-6.  reassemble ordered concordance arrays with ``array_sort`` over
-    (rank, pos)-keyed structs — no ``collect_list`` ordering hazard.
+1.  envelope checks F1-F6 -> ``doc_error`` struct via ``when`` chains;
+2.  the five identifier arrays are concatenated into one ordered
+    struct array (rank, pos, authority, value) — Go's processing order
+    by construction;
+3.  blanks (F7) removed with ``filter``; validity (V1/V2) and UUID
+    derivation (U1-U3, native md5 kernels) via ``transform``;
+4.  duplicate detection (D1/D2): ``exists`` over ``slice`` of the
+    preceding elements — Go's accumulated-list membership test verbatim,
+    O(k^2) per doc on arrays of length <= ~dozens;
+5.  first error in payload order = ``element_at(filter(...), 1)`` — the
+    array is already ordered;
+6.  concordances = ``filter`` + ``transform`` into the output structs.
 
-Scale notes: everything between parse and sink is narrow except the two
-window/group operations, which shuffle on ``doc_key`` — the natural,
-perfectly-parallel key (one document = one independent unit of work; no
-cross-doc skew possible since per-doc id arrays are tiny). At 10^12 rows
-this plan is embarrassingly parallel; AQE coalesces the post-shuffle
-partitions.
+Scale shape: the whole operator chain is one narrow projection pipeline —
+parse -> validate -> derive -> assemble runs in a single stage with no
+exchange, so it scales embarrassingly to any row count; the only shuffles
+in the job are whatever the *sink* needs (partitioning) and the optional
+cross-document CC pass.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .parse import parse_concept
@@ -86,7 +89,7 @@ def parse_stage(source: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 def doc_validate(parsed: DataFrame) -> DataFrame:
-    """Envelope-level checks F1-F6 -> doc_status/doc_error columns.
+    """Envelope-level checks F1-F6 -> doc_error columns.
 
     Exact error strings + status enum parity: service.go:96-143.
     """
@@ -106,7 +109,7 @@ def doc_validate(parsed: DataFrame) -> DataFrame:
         concept_uuid.isNotNull() & c["id"].startswith(LOCATION_PREFIX), F.lit("ManagedLocation")
     )
 
-    first_type = F.element_at(c["types"], 1)
+    first_type = F.try_element_at(c["types"], F.lit(1))
     short_type = F.substring_index(first_type, "/", -1)
 
     df = (
@@ -136,7 +139,7 @@ def doc_validate(parsed: DataFrame) -> DataFrame:
             F.struct(F.lit(SEMANTICALLY_INCORRECT).alias("status"), F.lit(_ERR_ID_MISSING).alias("error")),
         )
         .when(
-            F.size(F.coalesce(c["types"], F.array())) == 0,
+            F.size(F.coalesce(c["types"], F.array().cast("array<string>"))) == 0,
             F.struct(
                 F.lit(SYNTACTICALLY_INCORRECT).alias("status"),
                 F.concat(
@@ -152,7 +155,7 @@ def doc_validate(parsed: DataFrame) -> DataFrame:
         )
         .when(
             F.col("short_type").isin("Membership", "MembershipRole")
-            & (F.size(F.coalesce(c["tme"], F.array())) > 0),
+            & (F.size(F.coalesce(c["tme"], F.array().cast("array<string>"))) > 0),
             F.struct(
                 F.lit(SYNTACTICALLY_INCORRECT).alias("status"),
                 F.concat(
@@ -166,148 +169,146 @@ def doc_validate(parsed: DataFrame) -> DataFrame:
     return df.withColumn("doc_error", err)
 
 
-def _explode_authority(df: DataFrame, field: str, authority: str) -> DataFrame:
-    rank = AUTHORITY_RANK[authority]
-    return df.select(
-        "doc_key",
-        "concept_uuid",
-        F.lit(rank).alias("rank"),
-        F.lit(authority).alias("authority"),
-        F.posexplode(
-            F.coalesce(F.col("concept")[field], F.array().cast("array<string>"))
-        ).alias("pos", "value"),
-    )
+def _ranked_ids() -> Column:
+    """The five identifier arrays concatenated into one ordered
+    struct<rank,pos,authority,value> array — Go's processing order
+    (service.go:148-173) by construction."""
+    c = F.col("concept")
+    parts = []
+    def tag(rank: int, auth: str):
+        def fn(v, i):
+            return F.struct(
+                F.lit(rank).alias("rank"),
+                i.alias("pos"),
+                F.lit(auth).alias("authority"),
+                v.alias("value"),
+            )
 
+        return fn
 
-def id_stage(valid_docs: DataFrame) -> DataFrame:
-    """Explode all five identifier arrays, derive UUIDs, flag errors/skips.
-
-    Output grain: one row per (doc, authority, position) id with columns
-    ``derived_uuid``, ``skip`` (location blank/dup), ``id_error``
-    (struct status/error or null).
-    """
-    parts = [
-        _explode_authority(valid_docs, f, a)
-        for f, a in (
-            ("tme", AUTH_TME),
-            ("factset", AUTH_FACTSET),
-            ("dbpedia", AUTH_DBPEDIA),
-            ("geonames", AUTH_GEONAMES),
-            ("wikidata", AUTH_WIKIDATA),
-        )
-    ]
-    ids = parts[0]
-    for p in parts[1:]:
-        ids = ids.unionByName(p)
-
-    is_tme = F.col("rank") == 1
-    is_factset = F.col("rank") == 2
-    is_location = F.col("rank") >= 3
-
-    # F7: blank location values are skipped with a warning (service.go:255-258).
-    blank = is_location & (F.trim(F.col("value")) == "")
-
-    valid = (
-        F.when(is_tme, F.col("value").rlike(TME_RE))
-        .when(is_factset, F.col("value").rlike(FACTSET_RE))
-        .otherwise(F.lit(True))
-    )
-    derived = F.when(
-        blank | ~valid, F.lit(None)
-    ).otherwise(
-        F.when(is_factset, ft_factset_uuid(F.col("value"))).otherwise(ft_md5_uuid(F.col("value")))
-    )
-    ids = ids.withColumn("blank", blank).withColumn("valid", valid).withColumn("derived_uuid", derived)
-
-    # D1/D2: duplicate derived UUIDs. Window ordered by Go's processing
-    # order (rank, pos); the first occurrence wins, later ones are dups.
-    w = Window.partitionBy("doc_key", "derived_uuid").orderBy("rank", "pos")
-    ids = ids.withColumn(
-        "dup",
-        F.when(F.col("derived_uuid").isNull(), F.lit(False)).otherwise(F.row_number().over(w) > 1),
-    )
-
-    # Per-id error, precedence as the reference fold: self-concordance,
-    # then invalid, then duplicate (TME/FACTSET only; locations skip dups).
-    self_err = F.concat(
-        F.when(
-            is_location,
-            F.concat(
-                F.lit("bad Request: Payload from Smartlogic has a Smartlogic uuid that "
-                      "is the same as the uuid generated from "),
-                F.col("authority"),
-                F.lit(" id"),
-            ),
-        ).otherwise(
-            F.concat(
-                F.lit("bad Request: Payload from smartlogic has a smartlogic uuid that "
-                      "is the same as the uuid generated from the "),
-                F.col("authority"),
-                F.lit(" id"),
+    for field, auth in (
+        ("tme", AUTH_TME),
+        ("factset", AUTH_FACTSET),
+        ("dbpedia", AUTH_DBPEDIA),
+        ("geonames", AUTH_GEONAMES),
+        ("wikidata", AUTH_WIKIDATA),
+    ):
+        parts.append(
+            F.transform(
+                F.coalesce(c[field], F.array().cast("array<string>")),
+                tag(AUTHORITY_RANK[auth], auth),
             )
         )
-    )
-    invalid_err = F.concat(
-        F.lit("Bad Request: Concordance id "),
-        F.col("value"),
-        F.lit(" is not a valid "),
-        F.col("authority"),
-        F.lit(" Id"),
-    )
-    dup_err = F.concat(
-        F.lit("bad Request: Payload from smartlogic contains duplicate "),
-        F.col("authority"),
-        F.lit(" id values"),
-    )
-    id_error = (
-        F.when(F.col("blank"), F.lit(None))
-        .when(
-            F.col("derived_uuid") == F.col("concept_uuid"),
-            F.struct(F.lit(SYNTACTICALLY_INCORRECT).alias("status"), self_err.alias("error")),
-        )
-        .when(
-            ~F.col("valid"),
-            F.struct(F.lit(SYNTACTICALLY_INCORRECT).alias("status"), invalid_err.alias("error")),
-        )
-        .when(
-            F.col("dup") & (is_tme | is_factset),
-            F.struct(F.lit(SYNTACTICALLY_INCORRECT).alias("status"), dup_err.alias("error")),
-        )
-    )
-    skip = F.col("blank") | (F.col("dup") & is_location)
-    return ids.withColumn("id_error", id_error).withColumn("skip", skip)
+    return F.concat(*parts)
 
 
-def fold_stage(ids: DataFrame) -> DataFrame:
-    """Aggregate per-doc: FIRST error in (rank, pos) order, else the ordered
-    concordance array. One shuffle on doc_key."""
-    order_key = F.col("rank") * F.lit(1_000_000) + F.col("pos")
-    agg = (
-        ids.groupBy("doc_key")
-        .agg(
-            F.min_by(
-                F.col("id_error"), F.when(F.col("id_error").isNotNull(), order_key)
-            ).alias("id_error"),
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        ~F.col("skip") & F.col("id_error").isNull(),
-                        F.struct(
-                            order_key.alias("ord"),
-                            F.struct(
-                                F.col("authority").alias("authority"),
-                                F.col("value").alias("authorityValue"),
-                                F.col("derived_uuid").alias("uuid"),
-                            ).alias("cid"),
-                        ),
+def derive_ids(doc_ok: DataFrame) -> DataFrame:
+    """Per-row id fold: blanks -> validity -> UUIDs -> dups -> first error
+    + ordered concordances. All higher-order array expressions; no shuffle.
+    """
+    # F7: blank location values skipped with a warning (service.go:255-258).
+    kept = F.filter(
+        _ranked_ids(), lambda x: ~((x["rank"] >= 3) & (F.trim(x["value"]) == ""))
+    )
+
+    def enrich(x):
+        is_tme = x["rank"] == 1
+        is_factset = x["rank"] == 2
+        valid = (
+            F.when(is_tme, x["value"].rlike(TME_RE))
+            .when(is_factset, x["value"].rlike(FACTSET_RE))
+            .otherwise(F.lit(True))
+        )
+        derived = F.when(
+            valid,
+            F.when(is_factset, ft_factset_uuid(x["value"])).otherwise(ft_md5_uuid(x["value"])),
+        )
+        return F.struct(
+            x["rank"].alias("rank"),
+            x["pos"].alias("pos"),
+            x["authority"].alias("authority"),
+            x["value"].alias("value"),
+            valid.alias("valid"),
+            derived.alias("uuid"),
+        )
+
+    df = doc_ok.withColumn("_ids", F.transform(kept, enrich))
+
+    # D1/D2: Go's accumulated-list membership check — element i is a dup
+    # iff an earlier element derived the same UUID (service.go:202-209,
+    # 236-243, 266-269). slice(_ids, 1, i) = the elements before i.
+    def flag(x, i):
+        dup = F.exists(
+            F.slice(F.col("_ids"), F.lit(1), i),
+            lambda y: y["uuid"].eqNullSafe(x["uuid"]) & y["uuid"].isNotNull(),
+        )
+        self_conc = x["uuid"] == F.col("concept_uuid")
+        is_location = x["rank"] >= 3
+        error = (
+            F.when(
+                self_conc,
+                F.when(
+                    is_location,
+                    F.concat(
+                        F.lit("bad Request: Payload from Smartlogic has a Smartlogic uuid "
+                              "that is the same as the uuid generated from "),
+                        x["authority"],
+                        F.lit(" id"),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        F.lit("bad Request: Payload from smartlogic has a smartlogic uuid "
+                              "that is the same as the uuid generated from the "),
+                        x["authority"],
+                        F.lit(" id"),
                     )
-                )
-            ).alias("sorted_ids"),
+                ),
+            )
+            .when(
+                ~x["valid"],
+                F.concat(
+                    F.lit("Bad Request: Concordance id "),
+                    x["value"],
+                    F.lit(" is not a valid "),
+                    x["authority"],
+                    F.lit(" Id"),
+                ),
+            )
+            .when(
+                dup & ~is_location,
+                F.concat(
+                    F.lit("bad Request: Payload from smartlogic contains duplicate "),
+                    x["authority"],
+                    F.lit(" id values"),
+                ),
+            )
         )
-        .withColumn("concordances", F.transform(F.col("sorted_ids"), lambda x: x["cid"]))
-        .drop("sorted_ids")
+        skip = dup & is_location
+        return F.struct(
+            x["authority"].alias("authority"),
+            x["value"].alias("value"),
+            x["uuid"].alias("uuid"),
+            error.alias("error"),
+            skip.alias("skip"),
+        )
+
+    df = df.withColumn("_flagged", F.transform(F.col("_ids"), flag))
+    first_error = F.try_element_at(
+        F.filter(F.col("_flagged"), lambda x: x["error"].isNotNull()), F.lit(1)
+    )["error"]
+    concordances = F.transform(
+        F.filter(F.col("_flagged"), lambda x: ~x["skip"]),
+        lambda x: F.struct(
+            x["authority"].alias("authority"),
+            x["value"].alias("authorityValue"),
+            x["uuid"].alias("uuid"),
+        ),
     )
-    return agg
+    return (
+        df.withColumn("id_error", first_error)
+        .withColumn("concordances", concordances)
+        .drop("_ids", "_flagged")
+    )
 
 
 def transform(
@@ -320,53 +321,36 @@ def transform(
     quarantine:   doc_key, concept_uuid, status, http_code, error [+ carry]
 
     ``carry`` columns from the source (e.g. the partition bucket, repo,
-    path) ride through to both outputs — doc-level attributes never enter
-    the exploded id relation, so carrying them is free.
+    path) ride through to both outputs. The entire transform is one narrow
+    projection chain — no shuffle, no join.
     """
     carry = tuple(carry)
     parsed = doc_validate(parse_stage(source, content_col))
-    parsed = parsed.persist()
 
-    doc_bad = parsed.filter(F.col("doc_error").isNotNull())
-    doc_ok = parsed.filter(F.col("doc_error").isNull())
-
-    ids = id_stage(doc_ok)
-    folded = fold_stage(ids)
-
-    assembled = (
-        doc_ok.select("doc_key", "concept_uuid", "concept_authority", *carry)
-        .join(folded, "doc_key", "left")  # left: docs with zero ids keep an empty array
-        .withColumn(
-            "concordances",
-            F.coalesce(
-                F.col("concordances"),
-                F.array().cast("array<struct<authority:string,authorityValue:string,uuid:string>>"),
-            ),
-        )
-    )
-
-    id_bad = assembled.filter(F.col("id_error").isNotNull()).select(
-        "doc_key",
-        "concept_uuid",
-        F.col("id_error")["status"].alias("status"),
-        F.col("id_error")["error"].alias("error"),
-        *carry,
-    )
-    quarantine = doc_bad.select(
+    doc_bad = parsed.filter(F.col("doc_error").isNotNull()).select(
         "doc_key",
         "concept_uuid",
         F.col("doc_error")["status"].alias("status"),
         F.col("doc_error")["error"].alias("error"),
         *carry,
-    ).unionByName(id_bad)
-    quarantine = quarantine.withColumn(
+    )
+    doc_ok = derive_ids(parsed.filter(F.col("doc_error").isNull()))
+
+    id_bad = doc_ok.filter(F.col("id_error").isNotNull()).select(
+        "doc_key",
+        "concept_uuid",
+        F.lit(SYNTACTICALLY_INCORRECT).alias("status"),
+        F.col("id_error").alias("error"),
+        *carry,
+    )
+    quarantine = doc_bad.unionByName(id_bad).withColumn(
         "http_code",
         F.when(F.col("status") == SYNTACTICALLY_INCORRECT, F.lit(400))
         .when(F.col("status") == SEMANTICALLY_INCORRECT, F.lit(422))
         .otherwise(F.lit(500)),
     )
 
-    good = assembled.filter(F.col("id_error").isNull()).select(
+    good = doc_ok.filter(F.col("id_error").isNull()).select(
         "doc_key",
         "concept_uuid",
         F.col("concept_authority").alias("authority"),
@@ -375,7 +359,7 @@ def transform(
     )
     # E1: byte-exact UPP JSON — key order = Go struct order (model.go:50-60);
     # empty list stays [] (service.go:146). to_json of struct preserves
-    # field order; ignoreNullFields drops nothing here (no nulls possible).
+    # field order; no nulls are possible in the emitted fields.
     good = good.withColumn(
         "upp_json",
         F.to_json(

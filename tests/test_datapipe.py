@@ -1,0 +1,156 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from smartlogic_concordance_transformer_spark.datapipe import (
+    FEATURE_SCHEMA,
+    MEDIA_SCHEMA,
+    brute_force_topk,
+    detect_language,
+    exact_dedup,
+    extract_features,
+    fingerprint,
+    frame_sample_plan,
+    lsh_ann_topk,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    simhash_near_dups,
+    token_count,
+    winnowing_fingerprints,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm sun and the birds sing in the tall green trees all day"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "en", "web", len(BASE)),
+        (2, BASE, "en", "web", len(BASE)),  # exact dup of 1
+        (3, BASE.replace("lazy", "sleepy"), "en", "web", 10),  # near dup of 1
+        (4, "der hund und die katze sind nicht auf der wiese mit dem ball", "de", "web", 10),
+        (5, "le chat et le chien sont dans la maison pour une fete", "fr", "web", 10),
+        (6, "el perro y el gato en la casa por una fiesta grande", "es", "web", 10),
+        (7, "completely different text about spark query engines and shuffles at scale", "en", "web", 10),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 1 in ids and 2 not in ids  # lowest key wins
+    assert ids == {1, 3, 4, 5, 6, 7}
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    sig = minhash_signatures(docs, num_hashes=64, k=3)
+    cand = minhash_lsh_candidates(sig, bands=16, rows_per_band=4)
+    pairs = {(r.a, r.b) for r in cand.collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides w.h.p.
+    verified = ngram_jaccard_pairs(docs, cand, k=3, threshold=0.8)
+    vp = {(r.a, r.b): r.jaccard for r in verified.collect()}
+    assert vp[(1, 2)] == 1.0
+    # doc 7 shares essentially nothing with doc 1
+    assert (1, 7) not in vp
+
+
+def test_simhash_near_dups(docs):
+    fps = simhash(docs)
+    vals = {r.doc_id: r.simhash for r in fps.collect()}
+    assert vals[1] == vals[2]
+    nd = {(r.a, r.b) for r in simhash_near_dups(fps).collect()}
+    assert (1, 2) in nd
+    assert (1, 7) not in nd
+
+
+def test_langid_on_real_sentences(docs):
+    got = {r.doc_id: r.pred for r in docs.select("doc_id", detect_language("text").alias("pred")).collect()}
+    assert got[1] == "en" and got[4] == "de" and got[5] == "fr" and got[6] == "es"
+
+
+def test_token_count_and_quality(docs, spark):
+    rows = docs.select("doc_id", token_count("text").alias("tc"), quality_score("text").alias("qs")).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].tc == len(BASE.split())
+    assert 0.0 <= by_id[7].qs <= 1.0
+    junk = spark.createDataFrame([(9, "!!! ### $$$ %%%", "x", "web", 10)], docs.schema)
+    qs = junk.select(quality_score("text").alias("q")).first().q
+    assert qs <= 0.25
+
+
+def test_fingerprint_normalization(spark, docs):
+    a = spark.createDataFrame([(1, "Hello   World", "en", "w", 1)], docs.schema)
+    b = spark.createDataFrame([(2, "hello world", "en", "w", 1)], docs.schema)
+    fa = a.select(fingerprint("text").alias("f")).first().f
+    fb = b.select(fingerprint("text").alias("f")).first().f
+    assert fa == fb
+
+
+def test_winnowing_overlap(docs):
+    fps = docs.select("doc_id", winnowing_fingerprints("text").alias("w")).collect()
+    by_id = {r.doc_id: set(r.w) for r in fps}
+    sim_13 = len(by_id[1] & by_id[3]) / len(by_id[1] | by_id[3])
+    sim_17 = len(by_id[1] & by_id[7]) / len(by_id[1] | by_id[7])
+    assert sim_13 > 0.5 > sim_17
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], i % 3) for i in range(50)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    data = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(emb, queries, k=5).collect()
+    for qid in (0, 1):
+        q = data[qid]
+        sims = {
+            i: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for i, v in data.items()
+        }
+        expect = [i for i, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+        mine = [r.vec_id for r in sorted((r for r in got if r.query_id == qid), key=lambda r: r.rank)]
+        assert mine == expect
+
+
+def test_lsh_ann_self_hit(emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = lsh_ann_topk(emb, queries, dim=8, k=3)
+    top1 = {r.query_id: r.vec_id for r in got.collect() if r.rank == 1}
+    # a vector's nearest neighbor in its own bucket is itself
+    assert all(top1[q] == q for q in top1)
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [(i, "image", "image/png", bytes([i % 256]) * 32, 8, 8, None) for i in range(20)]
+        + [(100, "video", "video/mp4", b"v", None, None, 3000)],
+        MEDIA_SCHEMA,
+    )
+    feats = extract_features(media, fake=True)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 21 and all(len(r.feature) == 16 for r in rows)
+    # deterministic: same payload -> same feature
+    again = {r.media_id: r.feature for r in extract_features(media, fake=True).collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+    assert frame_sample_plan(media).count() == 4  # 0,1000,2000,3000
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_features(media, fake=False).count()
