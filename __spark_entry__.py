@@ -119,7 +119,7 @@ def _kg_bad_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_upp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_shipped(spark)
     good, _ = transform(_kg_source(spark, sf_dir), carry=("doc_id",))
-    return good.select("doc_id", "upp_json").orderBy("doc_id")
+    return good.select("doc_id", "upp_json")
 
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,7 +371,7 @@ def oracle_sql() -> dict[str, str]:
     )
     minhash_sig = " || '|' || ".join(f"m{j}" for j in range(_MINHASH_SEEDS))
     return {
-        "kg_upp_json": f"select doc_id, {upp_json_d} as upp_json from documents order by doc_id",
+        "kg_upp_json": f"select doc_id, {upp_json_d} as upp_json from documents",
         "kg_triples": f"""
           select doc_id, {_CUUID_DUCK} as subj, 'concordsWith' as pred, {_TME_UUID_D} as obj from documents
           union all

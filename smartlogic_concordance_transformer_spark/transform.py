@@ -85,6 +85,10 @@ def parse_stage(source: DataFrame, content_col: str = "content") -> DataFrame:
             256,
         ),
     )
+    # E3 transaction id (handlers.go:36-41): deterministic lineage id from
+    # (repo, path, commit, content) instead of wall-clock randomness, so
+    # re-runs are reproducible and the quarantine/log rows are joinable.
+    df = df.withColumn("tid", F.concat(F.lit("tid_"), F.substring("doc_key", 1, 16)))
     return df.withColumn("concept", parse_concept(content_col))
 
 
@@ -233,14 +237,17 @@ def derive_ids(doc_ok: DataFrame) -> DataFrame:
         )
 
     df = doc_ok.withColumn("_ids", F.transform(kept, enrich))
+    # Plain string array of derived UUIDs: duplicate detection is a single
+    # array_position scan per element (no per-element slice/copy — HOF
+    # lambdas are interpreted, so allocation count dominates their cost).
+    df = df.withColumn("_uuids", F.transform(F.col("_ids"), lambda x: x["uuid"]))
 
     # D1/D2: Go's accumulated-list membership check — element i is a dup
     # iff an earlier element derived the same UUID (service.go:202-209,
-    # 236-243, 266-269). slice(_ids, 1, i) = the elements before i.
+    # 236-243, 266-269): first occurrence index != own index.
     def flag(x, i):
-        dup = F.exists(
-            F.slice(F.col("_ids"), F.lit(1), i),
-            lambda y: y["uuid"].eqNullSafe(x["uuid"]) & y["uuid"].isNotNull(),
+        dup = x["uuid"].isNotNull() & (
+            F.array_position(F.col("_uuids"), x["uuid"]) < (i.cast("long") + 1)
         )
         self_conc = x["uuid"] == F.col("concept_uuid")
         is_location = x["rank"] >= 3
@@ -307,12 +314,15 @@ def derive_ids(doc_ok: DataFrame) -> DataFrame:
     return (
         df.withColumn("id_error", first_error)
         .withColumn("concordances", concordances)
-        .drop("_ids", "_flagged")
+        .drop("_ids", "_uuids", "_flagged")
     )
 
 
 def transform(
-    source: DataFrame, content_col: str = "content", carry: tuple[str, ...] = ()
+    source: DataFrame,
+    content_col: str = "content",
+    carry: tuple[str, ...] = (),
+    engine: str = "arrow",
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline: source table -> (concordances DF, quarantine DF).
 
@@ -321,9 +331,21 @@ def transform(
     quarantine:   doc_key, concept_uuid, status, http_code, error [+ carry]
 
     ``carry`` columns from the source (e.g. the partition bucket, repo,
-    path) ride through to both outputs. The entire transform is one narrow
-    projection chain — no shuffle, no join.
+    path) ride through to both outputs. Both engines are narrow projection
+    chains — no shuffle, no join:
+
+    * ``engine="arrow"`` (default): the fused pandas-UDF fold (pyfold.py)
+      — one Arrow batch per ~10k rows, ~17x faster per core than the
+      interpreted-HOF SQL path, scales across process-isolated workers.
+    * ``engine="sql"``: pure Column expressions (this module) — zero
+      Python beyond the parse UDF, whole-stage-codegen for the UUID
+      kernels, DuckDB-oracle-checkable. The two engines are byte-equal
+      and cross-checked in tests.
     """
+    if engine == "arrow":
+        return _transform_arrow(source, content_col, tuple(carry))
+    if engine != "sql":
+        raise ValueError(f"unknown engine {engine!r}; use 'arrow' or 'sql'")
     carry = tuple(carry)
     parsed = doc_validate(parse_stage(source, content_col))
 
@@ -372,5 +394,67 @@ def transform(
     ).withColumn(
         "op",
         F.when(F.size("concordances") > 0, F.lit("upsert")).otherwise(F.lit("delete")),
+    )
+    return good, quarantine
+
+
+def _transform_arrow(
+    source: DataFrame, content_col: str, carry: tuple[str, ...]
+) -> tuple[DataFrame, DataFrame]:
+    """Fused-UDF engine: one narrow projection, one Arrow exchange."""
+    from .pyfold import convert_udf
+
+    df = source.withColumn(
+        "doc_key",
+        F.sha2(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(""))
+                    for c in ("repo", "path", "commit")
+                    if c in source.columns
+                ],
+                F.col(content_col),
+            ),
+            256,
+        ),
+    ).withColumn("_r", convert_udf(F.col(content_col)))
+
+    r = F.col("_r")
+    good = df.filter(r["status"] == VALID_CONCEPT).select(
+        "doc_key",
+        r["concept_uuid"].alias("concept_uuid"),
+        r["authority"].alias("authority"),
+        F.coalesce(
+            r["concordances"],
+            F.array().cast(
+                "array<struct<authority:string,authorityValue:string,uuid:string>>"
+            ),
+        ).alias("concordances"),
+        *carry,
+        r["op"].alias("op"),
+    ).withColumn(
+        "upp_json",
+        F.to_json(
+            F.struct(
+                F.col("authority"),
+                F.col("concept_uuid").alias("uuid"),
+                F.col("concordances"),
+            )
+        ),
+    ).select(
+        "doc_key", "concept_uuid", "authority", "concordances", *carry, "upp_json", "op"
+    )
+    quarantine = df.filter(r["status"] != VALID_CONCEPT).select(
+        "doc_key",
+        r["concept_uuid"].alias("concept_uuid"),
+        r["status"].alias("status"),
+        r["error"].alias("error"),
+        *carry,
+    ).withColumn(
+        "http_code",
+        F.when(F.col("status") == SYNTACTICALLY_INCORRECT, F.lit(400))
+        .when(F.col("status") == SEMANTICALLY_INCORRECT, F.lit(422))
+        .otherwise(F.lit(500)),
     )
     return good, quarantine

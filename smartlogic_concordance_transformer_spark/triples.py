@@ -30,38 +30,48 @@ def emit_triples(good: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     shuffle): one explode + projections, stays in the fold output's stage.
     """
     carry = tuple(carry)
+
+    # Build the per-doc triple array in ONE projection, then explode once.
+    # (A union of three filtered branches would re-run the whole upstream
+    # — including the parse/fold UDF — once per branch.)
+    def concords(c):
+        return F.struct(
+            F.col("concept_uuid").alias("subj"),
+            F.lit(PRED_CONCORDS).alias("pred"),
+            c["uuid"].alias("obj"),
+            c["authority"].alias("authority"),
+        )
+
+    def identifies(c):
+        return F.struct(
+            c["uuid"].alias("subj"),
+            F.lit(PRED_IDENTIFIES).alias("pred"),
+            F.concat(c["authority"], F.lit(":"), c["authorityValue"]).alias("obj"),
+            c["authority"].alias("authority"),
+        )
+
+    tombstone = F.array(
+        F.struct(
+            F.col("concept_uuid").alias("subj"),
+            F.lit(PRED_CONCORDS).alias("pred"),
+            F.lit(None).cast("string").alias("obj"),
+            F.lit(None).cast("string").alias("authority"),
+        )
+    )
+    triple_arr = F.when(F.size("concordances") > 0, F.concat(
+        F.transform("concordances", concords),
+        F.transform("concordances", identifies),
+    )).otherwise(tombstone)
+
     exploded = good.select(
-        "doc_key",
-        "concept_uuid",
-        "op",
-        *carry,
-        F.explode_outer("concordances").alias("c"),
+        "doc_key", "op", *carry, F.explode(triple_arr).alias("t")
     )
-    concords = exploded.filter(F.col("c").isNotNull()).select(
+    return exploded.select(
         "doc_key",
-        F.col("concept_uuid").alias("subj"),
-        F.lit(PRED_CONCORDS).alias("pred"),
-        F.col("c")["uuid"].alias("obj"),
-        F.col("c")["authority"].alias("authority"),
+        F.col("t")["subj"].alias("subj"),
+        F.col("t")["pred"].alias("pred"),
+        F.col("t")["obj"].alias("obj"),
+        F.col("t")["authority"].alias("authority"),
         "op",
         *carry,
     )
-    identifies = exploded.filter(F.col("c").isNotNull()).select(
-        "doc_key",
-        F.col("c")["uuid"].alias("subj"),
-        F.lit(PRED_IDENTIFIES).alias("pred"),
-        F.concat(F.col("c")["authority"], F.lit(":"), F.col("c")["authorityValue"]).alias("obj"),
-        F.col("c")["authority"].alias("authority"),
-        "op",
-        *carry,
-    )
-    tombstones = exploded.filter(F.col("c").isNull()).select(
-        "doc_key",
-        F.col("concept_uuid").alias("subj"),
-        F.lit(PRED_CONCORDS).alias("pred"),
-        F.lit(None).cast("string").alias("obj"),
-        F.lit(None).cast("string").alias("authority"),
-        "op",
-        *carry,
-    )
-    return concords.unionByName(identifies).unionByName(tombstones)

@@ -1,0 +1,53 @@
+"""Plan-shape regression tests: the performance properties the engine is
+designed around must survive refactors.
+
+* transform() is a zero-shuffle projection chain (no Exchange);
+* scans are column-pruned (a doc_id/source query never reads `text`);
+* filters are pushed to the parquet scan;
+* the broadcast hint on small dimensions materializes as a
+  BroadcastHashJoin.
+"""
+
+from pyspark.sql import functions as F
+
+from smartlogic_concordance_transformer_spark.gen import generate_source_repos
+from smartlogic_concordance_transformer_spark.transform import transform
+from smartlogic_concordance_transformer_spark.triples import emit_triples
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_transform_has_no_shuffle(spark):
+    good, quar = transform(generate_source_repos(spark, 100, seed=1))
+    assert "Exchange" not in _plan(good)
+    assert "Exchange" not in _plan(quar)
+    assert "Exchange" not in _plan(emit_triples(good))
+
+
+def test_column_pruning_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select("doc_id", "source")
+    plan = _plan(q)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 10).select("doc_id")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "LessThan(doc_id,10)" in pushed, pushed
+
+
+def test_broadcast_join_materializes(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    assert "BroadcastHashJoin" in _plan(j)

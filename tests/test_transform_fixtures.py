@@ -98,15 +98,15 @@ HANDLER_GOLDENS = {
 }
 
 
-@pytest.fixture(scope="module")
-def results(spark):
+@pytest.fixture(scope="module", params=["sql", "arrow"])
+def results(spark, request):
     rows = [
         ("ft/fixtures", name, "0" * 40, "json", open(os.path.join(RES, name)).read())
         for name in sorted(os.listdir(RES))
     ]
     df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
     keymap = {r.doc_key: r.path for r in parse_stage(df).select("doc_key", "path").collect()}
-    good, quar = transform(df)
+    good, quar = transform(df, engine=request.param)
     good_by_path = {keymap[r.doc_key]: r for r in good.collect()}
     quar_by_path = {keymap[r.doc_key]: r for r in quar.collect()}
     return good_by_path, quar_by_path
