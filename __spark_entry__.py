@@ -238,6 +238,46 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN: kmeans coarse quantizer trained on a sample -> probe cells.
+    # No SQL oracle (iterative kmeans); rows-only check; recall vs exact
+    # top-k is pinned in tests/test_datapipe.py::test_ivf_search_recall.
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        ivf_search,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(emb, k=16, sample_fraction=0.5, seed=42)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_search(emb, queries, cents, k=10, nprobe=4)
+    return out.select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"))
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stateful sessionization semantics applied in batch over events:
+    # session = maximal run of a user's events with gaps < 30 min.
+    # SQL-expressible via the classic gaps-and-islands window pattern,
+    # so it gets a DuckDB oracle even though the streaming form uses
+    # applyInPandasWithState (tests/test_streaming_analytics.py).
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = us - F.lag(us).over(w)
+    sess = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+    )
+
+
 def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     return (
@@ -303,6 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "sim_topk": q_sim_topk,
+        "sim_ivf": q_sim_ivf,
+        "streaming_sessions": q_streaming_sessions,
         "agg_pricing": q_agg_pricing,
         "join_top_customers": q_join_top_customers,
         "events_by_type": q_events_by_type,
@@ -431,6 +473,22 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": (
             "select doc_id, sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as fp from documents"
         ),
+        "streaming_sessions": """
+          with g as (
+            select user_id, ts,
+                   case when epoch_us(ts) - lag(epoch_us(ts)) over (partition by user_id order by ts) > 1800000000
+                        or lag(ts) over (partition by user_id order by ts) is null
+                        then 1 else 0 end as new_session
+            from events),
+          s as (select user_id, ts,
+                       cast(sum(new_session) over (partition by user_id order by ts
+                                                   rows unbounded preceding) as bigint) as session_id
+                from g)
+          select user_id, session_id, count(*) as n_events,
+                 min(epoch_us(ts)) as start_us,
+                 max(epoch_us(ts)) as end_us
+          from s group by user_id, session_id
+        """,
         "sim_topk": """
           with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5),
           s as (select q.query_id, e.vec_id,

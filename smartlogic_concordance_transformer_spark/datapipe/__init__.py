@@ -17,7 +17,13 @@ from .dedup import (
     simhash_near_dups,
 )
 from .multimodal import FEATURE_SCHEMA, MEDIA_SCHEMA, extract_features, frame_sample_plan
-from .similarity import brute_force_topk, lsh_ann_topk
+from .similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_search,
+    lsh_ann_topk,
+    train_ivf_centroids,
+)
 from .text import (
     detect_language,
     fingerprint,
@@ -36,6 +42,9 @@ __all__ = [
     "simhash_near_dups",
     "brute_force_topk",
     "lsh_ann_topk",
+    "ivf_assign",
+    "ivf_search",
+    "train_ivf_centroids",
     "detect_language",
     "quality_score",
     "token_count",

@@ -82,6 +82,100 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     return out.cast("long")
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """IVF coarse quantizer: Lloyd's k-means on a driver-side sample.
+
+    The 100 TB pattern: train on a bounded sample (a few hundred thousand
+    vectors fit on the driver), assign the full corpus distributed. The
+    centroid list is tiny and broadcast as literals into the plan.
+    """
+    rows = (
+        corpus.sample(fraction=min(1.0, sample_fraction), seed=seed)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype="float64")
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(cents)):
+            m = X[assign == j]
+            if len(m):
+                cents[j] = m.mean(axis=0)
+    return cents.tolist()
+
+
+def _centroid_dist2(vec_col, centroid: list[float]):
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(corpus: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+    """+ ``_cell`` column: index of the nearest centroid. Native exprs —
+    at scale this is the column the corpus table is partitioned/clustered
+    by, making each probe a partition-pruned scan."""
+    dists = F.array(*[_centroid_dist2(F.col(vec_col), c) for c in centroids])
+    return corpus.withColumn(
+        "_cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    query_key_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k: probe the ``nprobe`` nearest cells per query, exact
+    cosine rerank inside them. Recall is tunable via nprobe; cost is
+    nprobe/k of the full scan."""
+    c = ivf_assign(corpus, centroids, vec_col)
+    qdists = F.array(*[_centroid_dist2(F.col(vec_col), cen) for cen in centroids])
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    qdists,
+                    lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+                )
+            ),
+            lambda s: s["cell"],
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        query_key_col,
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+        F.explode(probe_cells).alias("_cell"),
+    )
+    scored = c.join(F.broadcast(q), "_cell").select(
+        query_key_col,
+        key_col,
+        (_dot(F.col("_qv"), F.col(vec_col)) / (F.col("_qn") * _norm(F.col(vec_col)))).alias("score"),
+    )
+    w = Window.partitionBy(query_key_col).orderBy(F.desc("score"), F.col(key_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

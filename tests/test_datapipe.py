@@ -154,3 +154,23 @@ def test_multimodal_plumbing(spark):
     assert frame_sample_plan(media).count() == 4  # 0,1000,2000,3000
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         extract_features(media, fake=False).count()
+
+
+def test_ivf_search_recall(spark, emb):
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        ivf_search,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, k=8, seed=3)
+    assert len(cents) == 8 and len(cents[0]) == 8
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_search(emb, queries, cents, k=5, nprobe=4)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, recall
+    # self-hit must always be found (query vector is in its own cell)
+    top1 = {r.query_id: r.vec_id for r in approx.collect() if r.rank == 1}
+    assert all(top1[q] == q for q in top1)

@@ -70,8 +70,10 @@ def test_every_query_has_oracle_or_reason():
     qs = set(entry.queries())
     os_ = set(entry.oracle_sql())
     assert os_ <= qs
-    # rows-only queries must be the genuinely non-SQL-expressible ones
-    assert qs - os_ == {"kg_uuid_factset"}
+    # rows-only queries must be the genuinely non-SQL-expressible ones:
+    # the double-MD5 kernel (DuckDB md5 is VARCHAR-only) and IVF ANN
+    # (iterative kmeans training)
+    assert qs - os_ == {"kg_uuid_factset", "sim_ivf"}
 
 
 def test_entry_smoke(spark):

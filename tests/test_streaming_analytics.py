@@ -1,0 +1,91 @@
+"""Watermarked windowed aggregation + stateful sessionization."""
+
+import json
+import os
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from smartlogic_concordance_transformer_spark.streaming_analytics import (
+    sessionize,
+    windowed_event_counts,
+)
+
+
+def test_windowed_counts_static_matches_manual(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = windowed_event_counts(ev, window="1 hour")
+    total = got.agg(F.sum("n")).first()[0]
+    assert total == ev.count()
+    # one window row per (hour, type); manual check on one slice
+    row = got.orderBy("window_start", "event_type").first()
+    manual = ev.filter(
+        (F.date_trunc("hour", "ts") == row.window_start) & (F.col("event_type") == row.event_type)
+    ).count()
+    assert row.n == manual
+
+
+def test_windowed_counts_streaming_with_watermark(spark, tmp_path):
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        {"event_id": i, "ts": (base + timedelta(seconds=30 * i)).isoformat(sep=" "),
+         "user_id": i % 3, "event_type": "click", "value": 1.0, "props": "{}"}
+        for i in range(8)
+    ]
+    ind = tmp_path / "in"
+    ind.mkdir()
+    with open(ind / "b0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = spark.readStream.schema(schema).json(str(ind))
+    out = windowed_event_counts(stream, window="1 minute", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from win_counts").collect()
+    # 8 events 30s apart fill 4 one-minute windows (2 events each); with a
+    # 1-minute watermark the final availableNow flush closes windows ending
+    # <= max_ts - 1min = 12:02:30 -> exactly the 12:00 and 12:01 windows.
+    # Later windows are correctly held open for late data.
+    assert sorted((r.window_start.minute, r.n) for r in got) == [(0, 2), (1, 2)]
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    base = datetime(2026, 1, 1, 9, 0, 0)
+    mk = lambda uid, minutes: {
+        "event_id": uid * 100 + minutes,
+        "ts": (base + timedelta(minutes=minutes)).isoformat(sep=" "),
+        "user_id": uid, "event_type": "e", "value": 0.0, "props": "{}",
+    }
+    # user 1: two sessions separated by a 120-minute gap; user 2: one session
+    rows = [mk(1, 0), mk(1, 5), mk(1, 10), mk(1, 130), mk(1, 135), mk(2, 0)]
+    ind = tmp_path / "in"
+    ind.mkdir()
+    with open(ind / "b0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = spark.readStream.schema(schema).json(str(ind))
+    q = (
+        sessionize(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sessions").collect()
+    closed = [(r.user_id, r.n_events) for r in got if r.closed]
+    open_ = [(r.user_id, r.n_events) for r in got if not r.closed]
+    assert (1, 3) in closed                 # first session closed by the in-batch gap
+    assert (1, 2) in open_                  # second session still open
+    assert (2, 1) in open_                  # user 2's single-event session open
