@@ -90,3 +90,26 @@ def test_canonical_triples_shape(spark):
         ("a", "concordsWith", "c"),
         ("d", "concordsWith", "e"),
     }
+
+
+def test_cc_converges_on_chained_shared_id_corpus(spark):
+    """Regression: a production-shaped corpus (shared-id pools chained by
+    multi-pool docs) has graph diameter far beyond small test graphs; the
+    star algorithm must converge where plain label propagation (diameter-
+    bound) failed at 25 iterations. Found via the real spark-submit run."""
+    from pyspark.sql import functions as F
+
+    from smartlogic_concordance_transformer_spark.gen import generate_source_repos
+    from smartlogic_concordance_transformer_spark.transform import transform
+    from smartlogic_concordance_transformer_spark.triples import emit_triples
+
+    src = generate_source_repos(spark, 20000, seed=42)
+    good, _ = transform(src)
+    edges = emit_triples(good).filter(
+        (F.col("pred") == "concordsWith") & (F.col("op") == "upsert")
+    )
+    comp = connected_components(edges, salt=8)
+    # partition invariant: every node appears exactly once
+    assert comp.count() == comp.select("node").distinct().count()
+    # canonical is the component min
+    assert comp.filter(F.col("component") > F.col("node")).count() == 0
