@@ -312,6 +312,45 @@ def q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-3 orders per customer by price: partitioned window top-k
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customers with orders but no high-priority order: EXCEPT semantics
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    all_c = o.select("o_custkey").distinct()
+    hi = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    return all_c.exceptAll(hi).select(F.col("o_custkey").alias("custkey"))
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hierarchical totals: rollup over (returnflag, linestatus)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
 def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return ev.groupBy("event_type").agg(
@@ -347,6 +386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "agg_pricing": q_agg_pricing,
         "join_top_customers": q_join_top_customers,
+        "window_topk": q_window_topk,
+        "set_ops": q_set_ops,
+        "rollup_pricing": q_rollup_pricing,
         "events_by_type": q_events_by_type,
     }
 
@@ -518,6 +560,25 @@ def oracle_sql() -> dict[str, str]:
             select c.c_custkey, c.c_mktsegment, t.total, t.n_orders,
                    cast(row_number() over (order by t.total desc, c.c_custkey) as int) as rnk
             from t join customer c on t.o_custkey = c.c_custkey) where rnk <= 10
+        """,
+        "window_topk": """
+          select o_custkey, o_orderkey, rk from (
+            select o_custkey, o_orderkey,
+                   cast(row_number() over (partition by o_custkey
+                        order by o_totalprice desc, o_orderkey) as int) as rk
+            from orders) where rk <= 3
+        """,
+        "set_ops": """
+          select o_custkey as custkey from orders
+          except
+          select o_custkey from orders where o_orderpriority = '1-URGENT'
+        """,
+        "rollup_pricing": """
+          select coalesce(l_returnflag, 'ALL') as returnflag,
+                 coalesce(l_linestatus, 'ALL') as linestatus,
+                 count(*) as n,
+                 cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty
+          from lineitem group by rollup (l_returnflag, l_linestatus)
         """,
         "events_by_type": """
           select event_type, count(*) as n,

@@ -200,22 +200,29 @@ def scaling(n_small: int = 2, n_docs: int = 2_400_000) -> None:
     its own memory bus). local[32] is reported as the absolute-throughput
     point and shows the single-box saturation explicitly.
     """
+    # Two full passes over the level sequence, keep the better throughput
+    # per level: per-level best-of-3 controls within-process noise, the
+    # second pass controls thermal/turbo drift BETWEEN levels.
     results = {}
-    for cpus in (32, n_small * 4, n_small):  # large first: thermal drift control
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cpus),
-            SPARK_GRAFT_KG_DOCS=str(n_docs),
-        )
-        log(f"=== scaling run local[{cpus}] ===")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    for pass_no in (1, 2):
+        for cpus in (32, n_small * 4, n_small):  # large first each pass
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                SPARK_GRAFT_KG_DOCS=str(n_docs),
+            )
+            log(f"=== scaling pass {pass_no} local[{cpus}] ===")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            prev = results.get(cpus)
+            if prev is None or r["kg"]["triples_per_sec"] > prev["kg"]["triples_per_sec"]:
+                results[cpus] = r
 
     small, large, full = results[n_small], results[n_small * 4], results[32]
     tput_s = small["kg"]["triples_per_sec"]

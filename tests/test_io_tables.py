@@ -1,0 +1,64 @@
+"""ParquetTableIO: the Iceberg-shaped bucketed writer + ledger interface
+(the sink a real deployment swaps for an Iceberg catalog)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from smartlogic_concordance_transformer_spark.io_tables import (
+    CheckpointLedger,
+    ParquetTableIO,
+    with_bucket,
+)
+
+
+def test_bucketed_write_read_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    io = ParquetTableIO(root, n_buckets=4)
+    df = with_bucket(
+        spark.createDataFrame(
+            [(f"repo-{i % 7}", f"s{i}", i) for i in range(100)],
+            "repo string, subj string, n long",
+        ),
+        4,
+    )
+    assert io.pending_buckets() == [0, 1, 2, 3]
+    entries = {b: io.write_bucket(df, b, fingerprint_cols=["subj"]) for b in range(4)}
+    assert sum(e["rows"] for e in entries.values()) == 100
+    assert io.pending_buckets() == []
+
+    back = io.read(spark)
+    assert back.count() == 100
+    assert set(back.columns) == {"repo", "subj", "n", "bucket"}
+    # bucket partition column survives the hive-style layout; only
+    # non-empty buckets carry rows (hash collisions can leave buckets empty)
+    expected_buckets = {r.bucket for r in df.select("bucket").distinct().collect()}
+    assert {r.bucket for r in back.select("bucket").distinct().collect()} == expected_buckets
+
+
+def test_fingerprint_is_order_insensitive_and_content_sensitive(spark, tmp_path):
+    io_a = ParquetTableIO(str(tmp_path / "a"), n_buckets=1)
+    io_b = ParquetTableIO(str(tmp_path / "b"), n_buckets=1)
+    rows = [("r", f"s{i}") for i in range(50)]
+    df1 = with_bucket(spark.createDataFrame(rows, "repo string, subj string"), 1)
+    df2 = with_bucket(
+        spark.createDataFrame(list(reversed(rows)), "repo string, subj string").repartition(5), 1
+    )
+    f1 = io_a.write_bucket(df1, 0, ["subj"])["fingerprint"]
+    f2 = io_b.write_bucket(df2, 0, ["subj"])["fingerprint"]
+    assert f1 == f2  # same content, any order/partitioning
+
+    io_c = ParquetTableIO(str(tmp_path / "c"), n_buckets=1)
+    df3 = with_bucket(
+        spark.createDataFrame(rows[:-1] + [("r", "sXX")], "repo string, subj string"), 1
+    )
+    assert io_c.write_bucket(df3, 0, ["subj"])["fingerprint"] != f1
+
+
+def test_ledger_n_buckets_guard(tmp_path):
+    CheckpointLedger(str(tmp_path / "l"), n_buckets=8)
+    try:
+        CheckpointLedger(str(tmp_path / "l"), n_buckets=4)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "n_buckets=8" in str(e)
