@@ -20,13 +20,24 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from smartlogic_concordance_transformer_spark.datapipe.dedup import exact_dedup
-from smartlogic_concordance_transformer_spark.datapipe.similarity import brute_force_topk
+from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+    exact_dedup,
+    simhash,
+    simhash_near_dups,
+)
+from smartlogic_concordance_transformer_spark.datapipe.hygiene import strip_boilerplate
+from smartlogic_concordance_transformer_spark.datapipe.multimodal import extract_features
+from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+    brute_force_topk,
+    cosine,
+)
 from smartlogic_concordance_transformer_spark.datapipe.text import (
+    PII_PATTERNS,
     STOPWORDS,
     detect_language,
     fingerprint,
     quality_score,
+    scrub_pii,
     token_count,
 )
 from smartlogic_concordance_transformer_spark.session import _ship_package
@@ -213,6 +224,101 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup corpus: every 10th doc gets a one-token-perturbed twin at
+    # doc_id+100000; 4x16-bit banded simhash recovers most twins at
+    # hamming <= 3. FNV-1a inside the pandas UDF is not DuckDB-expressible
+    # -> rows-only check; the kernel is pinned by pytest goldens.
+    _ensure_shipped(spark)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pert = d.filter(F.pmod("doc_id", 10) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qzx")).alias("text"),
+    )
+    fps = simhash(d.unionByName(pert))
+    return simhash_near_dups(fps).select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup: every 7th vector gets a x2-scaled twin
+    # (cosine-invariant scaling -> exact planted duplicates); all-pairs
+    # cosine >= 0.99. Max natural pairwise cosine in the corpus is ~0.51,
+    # so the threshold is decision-stable across engines/precisions.
+    emb = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 1000)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    dup = emb.filter(F.pmod("vec_id", 7) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(2.0)).alias("v"),
+    )
+    c = emb.unionByName(dup)
+    a = c.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = c.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    return pairs.filter(cosine(F.col("va"), F.col("vb")) >= 0.99).select("a", "b")
+
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic PII appended to each doc (identical construction in the
+    # oracle), then the native regexp_replace scrub chain.
+    d = _docs(spark, sf_dir)
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact john.doe+"),
+        F.col("source"),
+        F.lit("@mail.example.com or +1 (415) 555-"),
+        F.lpad(F.pmod("doc_id", 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0."),
+        F.pmod("doc_id", 256).cast("string"),
+        F.lit(".7"),
+    )
+    return d.select("doc_id", scrub_pii(pii).alias("clean"))
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus with a global header line + per-source footer line; both recur
+    # across >= 5 docs and are stripped, body lines survive in order.
+    d = _docs(spark, sf_dir)
+    content = F.concat_ws(
+        "\n",
+        F.lit("=== COOKIE NOTICE: this site uses cookies ==="),
+        F.col("text"),
+        F.concat(F.lit("(c) newsletter footer for "), F.col("source")),
+    )
+    src = d.select("doc_id", content.alias("text"))
+    return strip_boilerplate(src, min_docs=5)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # media rows synthesized from documents (payload = utf-8 bytes of text);
+    # mapInPandas feature extraction with the deterministic fake decoder.
+    # sha256-of-BLOB byte extraction is not DuckDB-expressible -> rows-only;
+    # the decoder and Arrow plumbing are pinned in tests/test_datapipe.py.
+    _ensure_shipped(spark)
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod("doc_id", 3) + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        (F.pmod("doc_id", 3) * 1000).cast("long").alias("duration_ms"),
+    )
+    feats = extract_features(media, dim=8, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.size("feature").cast("int").alias("dim"),
+        F.round(F.element_at("feature", 1) * 255).cast("int").alias("b0"),
+    )
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", token_count("text").alias("n_tokens"))
 
@@ -377,6 +483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embed": q_dedup_embed,
+        "text_pii": q_text_pii,
+        "text_boilerplate": q_text_boilerplate,
+        "multimodal_features": q_multimodal_features,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -444,6 +555,18 @@ def _quality_oracle() -> str:
     """
 
 
+def _pii_oracle() -> str:
+    expr = (
+        "text || ' contact john.doe+' || source || '@mail.example.com or +1 (415) 555-'"
+        " || lpad(cast(doc_id % 10000 as varchar), 4, '0')"
+        " || ' ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0.'"
+        " || cast(doc_id % 256 as varchar) || '.7'"
+    )
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"select doc_id, {expr} as clean from documents"
+
+
 def oracle_sql() -> dict[str, str]:
     upp_json_d = f"""
       '{{"authority":"Smartlogic","uuid":"' || {_CUUID_DUCK} || '","concordances":[' ||
@@ -508,6 +631,33 @@ def oracle_sql() -> dict[str, str]:
                  round(len(list_intersect(a.w, b.w)) * 1.0
                        / len(list_distinct(list_concat(a.w, b.w))), 6) as jaccard
           from d a join d b on b.doc_id = a.doc_id + 1
+        """,
+        "dedup_embed": """
+          with base as (select vec_id, embedding from embeddings where vec_id < 1000),
+          dup as (select vec_id + 100000 as vec_id,
+                         list_transform(embedding, x -> x * 2) as embedding
+                  from base where vec_id % 7 = 0),
+          c as (select vec_id, embedding from base union all select vec_id, embedding from dup)
+          select a.vec_id as a, b.vec_id as b
+          from c a join c b on a.vec_id < b.vec_id
+          where list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        """,
+        "text_pii": _pii_oracle(),
+        "text_boilerplate": """
+          with src as (
+            select doc_id,
+                   '=== COOKIE NOTICE: this site uses cookies ===' || chr(10) ||
+                   text || chr(10) || '(c) newsletter footer for ' || source as t
+            from documents),
+          l as (select doc_id, unnest(string_split(t, chr(10))) as line from src),
+          bp as (select trim(line) as bl from l where trim(line) <> ''
+                 group by 1 having count(distinct doc_id) >= 5),
+          bpl as (select coalesce(list(bl), []) as ls from bp)
+          select s.doc_id,
+                 coalesce(list_aggregate(
+                   list_filter(string_split(s.t, chr(10)), x -> not list_contains(bpl.ls, trim(x))),
+                   'string_agg', chr(10)), '') as clean_text
+          from src s cross join bpl
         """,
         "text_tokens": "select doc_id, len(string_split_regex(trim(text), '\\s+')) as n_tokens from documents",
         "text_quality": _quality_oracle(),

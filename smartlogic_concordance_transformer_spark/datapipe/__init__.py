@@ -16,6 +16,7 @@ from .dedup import (
     simhash,
     simhash_near_dups,
 )
+from .hygiene import boilerplate_lines, strip_boilerplate
 from .multimodal import FEATURE_SCHEMA, MEDIA_SCHEMA, extract_features, frame_sample_plan
 from .similarity import (
     brute_force_topk,
@@ -28,6 +29,7 @@ from .text import (
     detect_language,
     fingerprint,
     quality_score,
+    scrub_pii,
     token_count,
     winnowing_fingerprints,
 )
@@ -49,7 +51,10 @@ __all__ = [
     "quality_score",
     "token_count",
     "fingerprint",
+    "scrub_pii",
     "winnowing_fingerprints",
+    "boilerplate_lines",
+    "strip_boilerplate",
     "extract_features",
     "frame_sample_plan",
     "MEDIA_SCHEMA",

@@ -1,0 +1,70 @@
+"""Corpus hygiene: boilerplate-line removal (CCNet/RefinedWeb-style).
+
+A line (trimmed, non-empty) that recurs across many *distinct* documents —
+cookie banners, nav menus, license headers, newsletter footers — is
+boilerplate and is stripped from every document; document-unique lines are
+kept in original order.
+
+Scale shape: one explode + one aggregation to build the boilerplate
+dictionary (map-side partial ``count distinct`` keeps the shuffle thin —
+the dictionary is tiny by construction: only lines that repeat across docs
+survive the HAVING), then a **broadcast anti-join** back onto the exploded
+lines — the 100 TB side is never shuffled. Reassembly groups by the doc
+key, which re-uses the source partitioning when the input is already
+bucketed by key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def boilerplate_lines(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", min_docs: int = 2
+) -> DataFrame:
+    """Distinct trimmed lines appearing in >= min_docs distinct documents.
+    Returns a single-column frame ``bline`` (small: broadcast it)."""
+    lines = df.select(
+        key_col, F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    )
+    t = F.trim(F.col("line"))
+    return (
+        lines.filter(t != "")
+        .groupBy(t.alias("bline"))
+        .agg(F.count_distinct(key_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("bline")
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", min_docs: int = 2
+) -> DataFrame:
+    """Remove boilerplate lines from every document.
+
+    Returns (key_col, clean_text): non-boilerplate lines rejoined with \\n
+    in original order; a document that was pure boilerplate yields ''.
+    """
+    bp = boilerplate_lines(df, text_col, key_col, min_docs)
+    lines = df.select(
+        key_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    kept = lines.join(
+        F.broadcast(bp), F.trim(lines["line"]) == bp["bline"], "left_anti"
+    )
+    reassembled = kept.groupBy(key_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text")
+    )
+    # keep fully-boilerplate docs as empty strings rather than dropping them
+    return (
+        df.select(key_col)
+        .join(reassembled, key_col, "left")
+        .fillna({"clean_text": ""})
+    )

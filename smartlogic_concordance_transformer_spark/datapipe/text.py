@@ -78,6 +78,29 @@ def quality_score(text: Column | str) -> Column:
     return ((len_ok + word_len_ok + stop_ok + alpha_ok) / 4).cast("double")
 
 
+# PII scrub patterns, applied in this order. Deliberately restricted to
+# regex constructs shared by Java regex (Spark) and RE2 (DuckDB oracle):
+# no backreferences, no lookaround — so the oracle can replicate exactly.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b", "<CC>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"(\+\d{1,2}[ ]?)?(\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails, credit cards, SSNs, IPv4s, phone numbers with typed
+    placeholder tokens — the standard pretraining-corpus hygiene pass.
+    Chained native ``regexp_replace`` (global), zero UDF: at 100 TB this
+    stays inside whole-stage codegen, one projection, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: sha256 over the
     whitespace/case-normalized text — the content identity used by exact

@@ -174,3 +174,40 @@ def test_ivf_search_recall(spark, emb):
     # self-hit must always be found (query vector is in its own cell)
     top1 = {r.query_id: r.vec_id for r in approx.collect() if r.rank == 1}
     assert all(top1[q] == q for q in top1)
+
+
+def test_scrub_pii(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import scrub_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.co.uk please"),
+        (2, "call +1 (415) 555-0137 or 415-555-0137 today"),
+        (3, "ssn 123-45-6789 card 4111-1111-1111-1111 and 4111 1111 1111 1111"),
+        (4, "server at 10.0.42.7 port 80"),
+        (5, "no pii here, just words and the number 12345"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {r.id: r.c for r in df.select("id", scrub_pii("t").alias("c")).collect()}
+    assert out[1] == "mail me at <EMAIL> please"
+    assert out[2] == "call <PHONE> or <PHONE> today"
+    assert out[3] == "ssn <SSN> card <CC> and <CC>"
+    assert out[4] == "server at <IP> port 80"
+    assert out[5] == rows[4][1]
+
+
+def test_strip_boilerplate(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    hdr, ftr = "== accept cookies ==", "unsubscribe here"
+    rows = [(i, f"{hdr}\nbody line {i}\nsecond body {i}\n{ftr}") for i in range(4)]
+    rows.append((9, f"{hdr}\n{ftr}"))  # pure boilerplate -> empty doc
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bp = {r.bline for r in boilerplate_lines(df, min_docs=3).collect()}
+    assert bp == {hdr, ftr}
+    out = {r.doc_id: r.clean_text for r in strip_boilerplate(df, min_docs=3).collect()}
+    assert out[2] == "body line 2\nsecond body 2"  # order preserved
+    assert out[9] == ""  # fully-boilerplate doc kept as empty, not dropped
+    assert set(out) == {0, 1, 2, 3, 9}

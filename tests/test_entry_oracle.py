@@ -71,9 +71,15 @@ def test_every_query_has_oracle_or_reason():
     os_ = set(entry.oracle_sql())
     assert os_ <= qs
     # rows-only queries must be the genuinely non-SQL-expressible ones:
-    # the double-MD5 kernel (DuckDB md5 is VARCHAR-only) and IVF ANN
-    # (iterative kmeans training)
-    assert qs - os_ == {"kg_uuid_factset", "sim_ivf"}
+    # the double-MD5 kernel (DuckDB md5 is VARCHAR-only), IVF ANN
+    # (iterative kmeans training), FNV-1a simhash (64-bit overflow loop),
+    # and the sha256-of-BLOB fake media decoder (no BLOB byte access)
+    assert qs - os_ == {
+        "kg_uuid_factset",
+        "sim_ivf",
+        "dedup_simhash",
+        "multimodal_features",
+    }
 
 
 def test_entry_smoke(spark):
