@@ -182,6 +182,30 @@ def q_kg_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def _graph(spark: SparkSession, sf_dir: str):
+    """Deterministic multigraph over <=100 nodes derived from documents
+    (duplicate edges kept: they weight pageRank and degrees)."""
+    from smartlogic_concordance_transformer_spark.graph import GraphFrame
+
+    e = _docs(spark, sf_dir).selectExpr(
+        "concat('n', cast(pmod(doc_id, 100) as string)) as src",
+        "concat('n', cast(pmod(doc_id * 7, 100) as string)) as dst",
+    )
+    v = e.selectExpr("src as id").union(e.selectExpr("dst as id")).distinct()
+    return GraphFrame(v, e)
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graph(spark, sf_dir).degrees
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3 fixed power-iteration rounds (the oracle unrolls the same three in
+    # SQL); round(6) absorbs summation-order float noise across engines.
+    pr = _graph(spark, sf_dir).pageRank(maxIter=3).vertices
+    return pr.select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
 
@@ -480,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_uuid_factset": q_kg_uuid_factset,
         "kg_validate_ids": q_kg_validate_ids,
         "kg_cc": q_kg_cc,
+        "graph_degrees": q_graph_degrees,
+        "graph_pagerank": q_graph_pagerank,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
@@ -614,6 +640,34 @@ def oracle_sql() -> dict[str, str]:
           union all
           select distinct 'g' || lpad(cast(grp as varchar), 4, '0'), component
           from g join m using (grp)
+        """,
+        "graph_degrees": """
+          with e as (select 'n' || cast(doc_id % 100 as varchar) as src,
+                            'n' || cast(doc_id * 7 % 100 as varchar) as dst
+                     from documents),
+          ends as (select src as id from e union all select dst from e)
+          select id, count(*) as degree from ends group by id
+        """,
+        "graph_pagerank": """
+          with e as (select 'n' || cast(doc_id % 100 as varchar) as src,
+                            'n' || cast(doc_id * 7 % 100 as varchar) as dst
+                     from documents),
+          v as (select src as id from e union select dst from e),
+          od as (select src, count(*) as c from e group by src),
+          r0 as (select id, 1.0 as pr from v),
+          r1 as (select v.id, 0.15 + 0.85 * coalesce(t.m, 0) as pr from v
+                 left join (select e.dst as id, sum(r0.pr / od.c) as m
+                            from e join od using (src) join r0 on r0.id = e.src
+                            group by e.dst) t using (id)),
+          r2 as (select v.id, 0.15 + 0.85 * coalesce(t.m, 0) as pr from v
+                 left join (select e.dst as id, sum(r1.pr / od.c) as m
+                            from e join od using (src) join r1 on r1.id = e.src
+                            group by e.dst) t using (id)),
+          r3 as (select v.id, 0.15 + 0.85 * coalesce(t.m, 0) as pr from v
+                 left join (select e.dst as id, sum(r2.pr / od.c) as m
+                            from e join od using (src) join r2 on r2.id = e.src
+                            group by e.dst) t using (id))
+          select id, round(pr, 6) as pagerank from r3
         """,
         "dedup_exact": """
           select doc_id from (

@@ -1,0 +1,112 @@
+"""GraphFrames-compatible facade over the native graph operators.
+
+Users coming from GraphFrames get the familiar surface — ``GraphFrame(v,
+e)``, ``degrees``, ``triplets``, ``connectedComponents()``, ``pageRank()``
+— without the graphframes jar: everything routes to plain DataFrame ops
+(the connected-components engine in ``cc.py``, joins + aggregations for
+the rest), so it runs on a stock PySpark cluster.
+
+Conventions match GraphFrames: vertices carry an ``id`` column, edges
+carry ``src`` and ``dst``; ``connectedComponents`` adds ``component``;
+``pageRank`` adds ``pagerank`` to vertices and returns a new GraphFrame.
+
+Scale notes: degrees are one map-side-combinable aggregation; pageRank
+pre-joins out-degrees once and re-joins ranks per iteration on ``src``
+(pre-``repartition`` the edge list by ``src`` so every iteration reuses
+the same exchange), truncating lineage per round with ``localCheckpoint``
+exactly like the CC loop; dangling vertices contribute no mass (GraphX
+semantics) and every vertex keeps the reset floor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cc import connected_components
+
+
+class GraphFrame:
+    def __init__(self, v: DataFrame, e: DataFrame) -> None:
+        if "id" not in v.columns:
+            raise ValueError("vertex DataFrame must have an 'id' column")
+        missing = {"src", "dst"} - set(e.columns)
+        if missing:
+            raise ValueError(f"edge DataFrame missing columns: {sorted(missing)}")
+        self._v = v
+        self._e = e
+
+    @property
+    def vertices(self) -> DataFrame:
+        return self._v
+
+    @property
+    def edges(self) -> DataFrame:
+        return self._e
+
+    @property
+    def outDegrees(self) -> DataFrame:
+        return self._e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("outDegree")
+        )
+
+    @property
+    def inDegrees(self) -> DataFrame:
+        return self._e.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("inDegree")
+        )
+
+    @property
+    def degrees(self) -> DataFrame:
+        ends = self._e.select(F.explode(F.array("src", "dst")).alias("id"))
+        return ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+    @property
+    def triplets(self) -> DataFrame:
+        """(src struct, edge struct, dst struct) — two hash joins; broadcast
+        kicks in automatically when the vertex side is small."""
+        vs = self._v.select(F.struct(*self._v.columns).alias("src_v"))
+        vd = self._v.select(F.struct(*self._v.columns).alias("dst_v"))
+        e = self._e.select(F.struct(*self._e.columns).alias("edge"))
+        return (
+            e.join(vs, e["edge.src"] == vs["src_v.id"])
+            .join(vd, e["edge.dst"] == vd["dst_v.id"])
+            .select(F.col("src_v").alias("src"), "edge", F.col("dst_v").alias("dst"))
+        )
+
+    def connectedComponents(self, maxIter: int = 40, salt: int = 0) -> DataFrame:
+        """Vertices + ``component`` (= min reachable vertex id). Routes to
+        the alternating large-star/small-star engine; isolated vertices —
+        which never appear in the edge list — are their own component."""
+        comp = connected_components(self._e, src="src", dst="dst", max_iter=maxIter, salt=salt)
+        joined = self._v.join(comp.withColumnRenamed("node", "id"), "id", "left")
+        return joined.withColumn("component", F.coalesce("component", F.col("id")))
+
+    def pageRank(self, resetProbability: float = 0.15, maxIter: int = 10) -> "GraphFrame":
+        """Power iteration: pr'(v) = reset + (1-reset) * sum over in-edges
+        of pr(u)/outDeg(u). Fixed ``maxIter`` rounds (no tol parameter —
+        a convergence test per round costs an extra action at scale)."""
+        alpha = float(resetProbability)
+        edges = self._e.select("src", "dst").join(
+            self.outDegrees.withColumnRenamed("id", "src"), "src"
+        ).localCheckpoint()
+        ranks = self._v.select("id", F.lit(1.0).alias("pagerank"))
+        for _ in range(maxIter):
+            contribs = (
+                edges.join(ranks.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("pagerank") / F.col("outDegree")).alias("_mass"))
+            )
+            ranks = (
+                self._v.select("id")
+                .join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(alpha)
+                        + F.lit(1.0 - alpha) * F.coalesce(F.col("_mass"), F.lit(0.0))
+                    ).alias("pagerank"),
+                )
+                .localCheckpoint()
+            )
+        return GraphFrame(self._v.join(ranks, "id"), self._e)

@@ -1,0 +1,71 @@
+"""GraphFrames-compatible facade: degrees, triplets, connected components,
+pageRank vs an independent numpy power-iteration model."""
+
+import numpy as np
+import pytest
+
+from smartlogic_concordance_transformer_spark.graph import GraphFrame
+
+# two components: a triangle with a tail (a-b-c-a, c-d) and an arrow pair
+# (x -> y), plus isolated vertex z
+V = [("a",), ("b",), ("c",), ("d",), ("x",), ("y",), ("z",)]
+E = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("x", "y")]
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return GraphFrame(
+        spark.createDataFrame(V, ["id"]), spark.createDataFrame(E, ["src", "dst"])
+    )
+
+
+def test_schema_validation(spark):
+    with pytest.raises(ValueError, match="'id'"):
+        GraphFrame(spark.createDataFrame(V, ["name"]), spark.createDataFrame(E, ["src", "dst"]))
+    with pytest.raises(ValueError, match="dst"):
+        GraphFrame(spark.createDataFrame(V, ["id"]), spark.createDataFrame(E, ["src", "to"]))
+
+
+def test_degrees(g):
+    assert {(r.id, r.degree) for r in g.degrees.collect()} == {
+        ("a", 2), ("b", 2), ("c", 3), ("d", 1), ("x", 1), ("y", 1),
+    }
+    assert {(r.id, r.outDegree) for r in g.outDegrees.collect()} == {
+        ("a", 1), ("b", 1), ("c", 2), ("x", 1),
+    }
+    assert {(r.id, r.inDegree) for r in g.inDegrees.collect()} == {
+        ("b", 1), ("c", 1), ("a", 1), ("d", 1), ("y", 1),
+    }
+
+
+def test_triplets(g):
+    rows = g.triplets.collect()
+    assert len(rows) == len(E)
+    assert all(r.src.id == r.edge.src and r.dst.id == r.edge.dst for r in rows)
+
+
+def test_connected_components(g):
+    comp = {r.id: r.component for r in g.connectedComponents().collect()}
+    assert comp == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x",
+        "z": "z",  # isolated vertex is its own component
+    }
+
+
+def test_pagerank_matches_numpy_power_iteration(g):
+    ids = sorted(v[0] for v in V)
+    idx = {v: i for i, v in enumerate(ids)}
+    out_deg = np.zeros(len(ids))
+    for s, _ in E:
+        out_deg[idx[s]] += 1
+    pr = np.ones(len(ids))
+    for _ in range(10):
+        mass = np.zeros(len(ids))
+        for s, d in E:
+            mass[idx[d]] += pr[idx[s]] / out_deg[idx[s]]
+        pr = 0.15 + 0.85 * mass
+    got = {r.id: r.pagerank for r in g.pageRank(maxIter=10).vertices.collect()}
+    assert set(got) == set(ids)
+    for v in ids:
+        assert got[v] == pytest.approx(pr[idx[v]], rel=1e-9), v
