@@ -51,3 +51,25 @@ def test_broadcast_join_materializes(spark):
     customer = spark.read.parquet(f"{SF}/customer.parquet")
     j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
     assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_scrub_pii_is_zero_shuffle_projection(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import scrub_pii
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select("doc_id", scrub_pii("text").alias("clean"))
+    plan = _plan(q)
+    assert "Exchange" not in plan
+    # '*(1)' prefix = whole-stage-codegen'd: the native regexp chain and the
+    # scan fuse into one JVM-side stage
+    assert plan.lstrip().startswith("*(1)"), plan.splitlines()[0]
+
+
+def test_strip_boilerplate_uses_broadcast_antijoin(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import strip_boilerplate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(strip_boilerplate(docs))
+    # the recurring-line dictionary is broadcast; the big exploded side is
+    # never shuffled for the anti-join
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
