@@ -20,10 +20,10 @@ semantics) and every vertex keeps the reset floor.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .cc import connected_components
+from .cc import _symmetrize, connected_components
 
 
 class GraphFrame:
@@ -110,3 +110,93 @@ class GraphFrame:
                 .localCheckpoint()
             )
         return GraphFrame(self._v.join(ranks, "id"), self._e)
+
+    def labelPropagation(self, maxIter: int = 5) -> DataFrame:
+        """Community detection: each round every vertex adopts its
+        neighbors' most frequent label (ties -> min label, so runs are
+        deterministic unlike stock LPA). Undirected semantics. One
+        groupBy + one window per round; lineage truncated per round."""
+        sym = _symmetrize(self._e, "src", "dst").localCheckpoint()  # (u, v)
+        labels = self._v.select("id", F.col("id").alias("label"))
+        rank_w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("label"))
+        for _ in range(maxIter):
+            nbr = sym.join(labels.withColumnRenamed("id", "v"), "v").select(
+                F.col("u").alias("id"), "label"
+            )
+            best = (
+                nbr.groupBy("id", "label")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("_r", F.row_number().over(rank_w))
+                .filter(F.col("_r") == 1)
+                .select("id", "label")
+            )
+            labels = (
+                self._v.select("id")
+                .join(best.withColumnRenamed("label", "_new"), "id", "left")
+                .select("id", F.coalesce("_new", F.col("id")).alias("label"))
+                .localCheckpoint()
+            )
+        return self._v.join(labels, "id")
+
+    def shortestPaths(self, landmarks: list, maxIter: int = 30) -> DataFrame:
+        """Unweighted shortest-path distances to each landmark, as a
+        ``distances`` map column (GraphFrames shape). Iterative frontier
+        relaxation: dists ⟕ edges -> candidate dist+1, groupBy-min;
+        stops when the distance set is stable. Directed: follows edges
+        src -> dst (distance measured *to* the landmark along reversed
+        edges, i.e. GraphFrames semantics: d(v, landmark))."""
+        dists = (
+            self._v.select("id")
+            .filter(F.col("id").isin(landmarks))
+            .select("id", F.col("id").alias("landmark"), F.lit(0).alias("dist"))
+            .localCheckpoint()
+        )
+        rev = self._e.select(F.col("dst").alias("id"), F.col("src").alias("prev"))
+
+        def _fp(d: DataFrame) -> tuple:
+            return tuple(d.agg(F.count(F.lit(1)), F.sum("dist")).first())
+
+        prev_fp = _fp(dists)
+        for _ in range(maxIter):
+            cand = rev.join(dists, "id").select(
+                F.col("prev").alias("id"), "landmark", (F.col("dist") + 1).alias("dist")
+            )
+            dists = (
+                dists.unionByName(cand)
+                .groupBy("id", "landmark")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint()
+            )
+            fp = _fp(dists)
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+        m = dists.groupBy("id").agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("landmark", "dist")))
+            ).alias("distances")
+        )
+        return self._v.join(m, "id", "left").withColumn(
+            "distances",
+            F.coalesce("distances", F.map_from_arrays(F.array(), F.array())),
+        )
+
+    def triangleCount(self) -> DataFrame:
+        """Triangles through each vertex. Canonical-direction edges
+        (u < v) joined twice: wedge (a<b, b<c) closed by (a, c) — each
+        triangle found exactly once, then credited to all three corners.
+        Two shuffles total; no neighbor-list materialization, so a hub's
+        adjacency never has to fit in one task."""
+        e = (
+            _symmetrize(self._e, "src", "dst")
+            .filter(F.col("u") < F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = ab.join(bc, "b").join(ac, ["a", "c"])  # a < b < c
+        corners = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("count"))
+        return self._v.join(counts, "id", "left").fillna({"count": 0})

@@ -69,3 +69,30 @@ def test_pagerank_matches_numpy_power_iteration(g):
     assert set(got) == set(ids)
     for v in ids:
         assert got[v] == pytest.approx(pr[idx[v]], rel=1e-9), v
+
+
+def test_triangle_count(g):
+    got = {r.id: r["count"] for r in g.triangleCount().collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 0, "x": 0, "y": 0, "z": 0}
+
+
+def test_shortest_paths(g):
+    got = {r.id: dict(r.distances) for r in g.shortestPaths(["a", "d"]).collect()}
+    assert got == {
+        "a": {"a": 0, "d": 3},  # a->b->c->d
+        "b": {"a": 2, "d": 2},
+        "c": {"a": 1, "d": 1},
+        "d": {"d": 0},          # no out-edges: never reaches a
+        "x": {}, "y": {}, "z": {},
+    }
+
+
+def test_label_propagation_deterministic_within_components(g):
+    r1 = {r.id: r.label for r in g.labelPropagation(maxIter=5).collect()}
+    r2 = {r.id: r.label for r in g.labelPropagation(maxIter=5).collect()}
+    assert r1 == r2  # min-label tie-break makes LPA deterministic
+    assert r1["z"] == "z"  # isolated vertex keeps its own label
+    comp = {r.id: r.component for r in g.connectedComponents().collect()}
+    # a label never crosses a component boundary
+    for v, lab in r1.items():
+        assert comp[lab] == comp[v], (v, lab)
