@@ -206,6 +206,27 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # denser two-generator graph over 60 nodes so triangles actually occur;
+    # oracle closes the same canonical (a<b<c) wedges in SQL.
+    from smartlogic_concordance_transformer_spark.graph import GraphFrame
+
+    d = _docs(spark, sf_dir)
+    # ring edges u->u+1 and u->u+2 close a triangle at every node; the
+    # 7u+1 map adds irregular chords so per-node counts vary.
+    gens = ["pmod(doc_id + 1, 60)", "pmod(doc_id + 2, 60)", "pmod(doc_id * 7 + 1, 60)"]
+    e = None
+    for gexpr in gens:
+        part = d.selectExpr(
+            "concat('n', cast(pmod(doc_id, 60) as string)) as src",
+            f"concat('n', cast({gexpr} as string)) as dst",
+        )
+        e = part if e is None else e.union(part)
+    v = e.selectExpr("src as id").union(e.selectExpr("dst as id")).distinct()
+    g = GraphFrame(v, e)
+    return g.triangleCount().select("id", F.col("count").cast("long").alias("n_tri"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
 
@@ -506,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cc": q_kg_cc,
         "graph_degrees": q_graph_degrees,
         "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
@@ -668,6 +690,33 @@ def oracle_sql() -> dict[str, str]:
                             from e join od using (src) join r2 on r2.id = e.src
                             group by e.dst) t using (id))
           select id, round(pr, 6) as pagerank from r3
+        """,
+        "graph_triangles": """
+          with e0 as (
+            select 'n' || cast(doc_id % 60 as varchar) as src,
+                   'n' || cast((doc_id + 1) % 60 as varchar) as dst
+            from documents
+            union all
+            select 'n' || cast(doc_id % 60 as varchar),
+                   'n' || cast((doc_id + 2) % 60 as varchar)
+            from documents
+            union all
+            select 'n' || cast(doc_id % 60 as varchar),
+                   'n' || cast((doc_id * 7 + 1) % 60 as varchar)
+            from documents),
+          verts as (select src as id from e0 union select dst from e0),
+          e as (select least(src, dst) as a, greatest(src, dst) as b
+                from e0 where src <> dst group by 1, 2),
+          tri as (select ab.a, ab.b, bc.b as c
+                  from e ab
+                  join e bc on bc.a = ab.b
+                  join e ac on ac.a = ab.a and ac.b = bc.b),
+          corners as (select a as id from tri
+                      union all select b from tri
+                      union all select c from tri),
+          cnt as (select id, count(*) as n_tri from corners group by id)
+          select verts.id, coalesce(cnt.n_tri, 0) as n_tri
+          from verts left join cnt using (id)
         """,
         "dedup_exact": """
           select doc_id from (
