@@ -29,7 +29,6 @@ from smartlogic_concordance_transformer_spark.datapipe.hygiene import strip_boil
 from smartlogic_concordance_transformer_spark.datapipe.multimodal import extract_features
 from smartlogic_concordance_transformer_spark.datapipe.similarity import (
     brute_force_topk,
-    cosine,
 )
 from smartlogic_concordance_transformer_spark.datapipe.text import (
     PII_PATTERNS,
@@ -286,9 +285,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup: every 7th vector gets a x2-scaled twin
-    # (cosine-invariant scaling -> exact planted duplicates); all-pairs
+    # (cosine-invariant scaling -> exact planted duplicates); pairs with
     # cosine >= 0.99. Max natural pairwise cosine in the corpus is ~0.51,
     # so the threshold is decision-stable across engines/precisions.
+    # Candidates come from multi-probe hyperplane-LSH buckets — never an
+    # all-pairs cross join (the DuckDB oracle may stay all-pairs; oracles
+    # don't need to scale). Scale-identical twins share the exact bucket,
+    # so recall on the qualifying set is 1.0 here by construction; a
+    # plan-shape test pins the absence of CartesianProduct/BNLJ.
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        lsh_near_dup_pairs,
+    )
+
     emb = (
         _emb(spark, sf_dir)
         .filter(F.col("vec_id") < 1000)
@@ -299,10 +307,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("v", lambda x: x * F.lit(2.0)).alias("v"),
     )
     c = emb.unionByName(dup)
-    a = c.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    b = c.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
-    return pairs.filter(cosine(F.col("va"), F.col("vb")) >= 0.99).select("a", "b")
+    return lsh_near_dup_pairs(c, dim=64, threshold=0.99, vec_col="v", key_col="vec_id")
 
 
 def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,12 +460,16 @@ def q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = totals.join(F.broadcast(c), totals.o_custkey == c.c_custkey)
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("total"), F.col("c_custkey"))
-    return (
+    # orderBy().limit() plans as TakeOrderedAndProject (per-partition top-10
+    # + driver merge) — never a single-partition global sort. The row_number
+    # window then runs over only the 10 surviving rows.
+    top = (
         joined.select("c_custkey", "c_mktsegment", "total", "n_orders")
-        .withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 10)
+        .orderBy(F.desc("total"), F.col("c_custkey"))
+        .limit(10)
     )
+    w = Window.orderBy(F.desc("total"), F.col("c_custkey"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 
 def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,23 +82,72 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     return out.cast("long")
 
 
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs ``(a, b)`` with ``a < b`` and cosine >=
+    ``threshold`` — WITHOUT an all-pairs cross join.
+
+    Random-hyperplane signatures bucket the corpus; every row is probed
+    into its exact bucket plus each 1-bit flip (multi-probe), so any pair
+    whose signatures differ in <= 2 planes lands in a shared bucket.
+    For cosine >= 0.99 the per-plane disagreement probability is
+    arccos(0.99)/pi ~ 4.5%, so P(>2 of 8 planes differ) is negligible —
+    and scale-identical duplicates share the exact bucket deterministically.
+
+    Plan shape: explode(n_planes+1 probes) -> self hash-join on the bucket
+    -> distinct candidate pairs -> two hash joins back for the vectors ->
+    exact-cosine verify. Cost is proportional to bucket collisions, not
+    O(n^2); at 10^9+ rows the signature is also the natural clustering
+    column for the stored corpus.
+    """
+    planes = _random_planes(dim, n_planes, seed)
+    sig = corpus.select(
+        F.col(key_col).alias("_k"), lsh_signature(F.col(vec_col), planes).alias("_sig")
+    )
+    probes = F.array(
+        F.col("_sig"),
+        *[F.col("_sig").bitwiseXOR(F.lit(1 << p)).cast("long") for p in range(n_planes)],
+    )
+    exploded = sig.select("_k", F.explode(probes).alias("_bucket"))
+    a = exploded.select(F.col("_k").alias("a"), "_bucket")
+    b = exploded.select(F.col("_k").alias("b"), "_bucket")
+    cand = a.join(b, "_bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    vecs = corpus.select(F.col(key_col).alias("_k"), F.col(vec_col).alias("_v"))
+    paired = cand.join(
+        vecs.withColumnRenamed("_k", "a").withColumnRenamed("_v", "_va"), "a"
+    ).join(vecs.withColumnRenamed("_k", "b").withColumnRenamed("_v", "_vb"), "b")
+    return paired.filter(cosine(F.col("_va"), F.col("_vb")) >= threshold).select("a", "b")
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     k: int = 16,
     vec_col: str = "embedding",
     sample_fraction: float = 1.0,
+    max_train_rows: int = 100_000,
     iters: int = 10,
     seed: int = 42,
 ) -> list[list[float]]:
     """IVF coarse quantizer: Lloyd's k-means on a driver-side sample.
 
-    The 100 TB pattern: train on a bounded sample (a few hundred thousand
-    vectors fit on the driver), assign the full corpus distributed. The
-    centroid list is tiny and broadcast as literals into the plan.
+    The 100 TB pattern: train on a *row-count-bounded* sample (a few
+    hundred thousand vectors fit on the driver), assign the full corpus
+    distributed. The centroid list is tiny and broadcast as literals into
+    the plan. ``max_train_rows`` caps the collect absolutely — a fraction
+    alone scales with corpus size, so the limit is what keeps the driver
+    safe at 10^9+ rows.
     """
     rows = (
         corpus.sample(fraction=min(1.0, sample_fraction), seed=seed)
         .select(vec_col)
+        .limit(int(max_train_rows))
         .collect()
     )
     X = np.array([r[0] for r in rows], dtype="float64")

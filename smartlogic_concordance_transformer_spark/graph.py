@@ -154,7 +154,17 @@ class GraphFrame:
         rev = self._e.select(F.col("dst").alias("id"), F.col("src").alias("prev"))
 
         def _fp(d: DataFrame) -> tuple:
-            return tuple(d.agg(F.count(F.lit(1)), F.sum("dist")).first())
+            # order-insensitive content hash (same scheme as cc._fingerprint):
+            # decimal(38,0) sum of per-row hashes — a plain (count, sum(dist))
+            # pair can collide when distances shuffle between rows.
+            row = d.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64("id", "landmark", "dist").cast("decimal(38,0)")),
+                    F.lit(0),
+                ).alias("h"),
+            ).first()
+            return int(row["n"]), int(row["h"])
 
         prev_fp = _fp(dists)
         for _ in range(maxIter):

@@ -65,6 +65,28 @@ def test_scrub_pii_is_zero_shuffle_projection(spark):
     assert plan.lstrip().startswith("*(1)"), plan.splitlines()[0]
 
 
+def test_dedup_embed_has_no_cartesian_product(spark):
+    # the embedding near-dup contract path must generate candidates from
+    # LSH buckets — an all-pairs cross join dies at 10^9 vectors
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_dedup_embed(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_near_dup_pairs_recall_and_precision(spark):
+    # planted scale-identical twins are all recovered (exact-bucket hit);
+    # nothing below the threshold leaks through the verify stage
+    import __spark_entry__ as entry
+
+    rows = sorted((r["a"], r["b"]) for r in entry.q_dedup_embed(spark, SF).collect())
+    expected = sorted(
+        (v, v + 100000) for v in range(0, 500, 7)
+    )
+    assert rows == expected
+
+
 def test_strip_boilerplate_uses_broadcast_antijoin(spark):
     from smartlogic_concordance_transformer_spark.datapipe import strip_boilerplate
 
