@@ -20,8 +20,8 @@ from pyspark.sql import functions as F
 
 from .cc import canonical_triples
 from .io_tables import CheckpointLedger, with_bucket
-from .metrics import partition_metrics, write_run_manifest
-from .transform import transform
+from .metrics import gtg_check, partition_metrics, write_run_manifest
+from .transform import split_unified, transform_unified
 from .triples import emit_triples
 
 
@@ -42,7 +42,11 @@ def run_pipeline(
         # Resume: prune completed partitions before any work happens.
         src = src.filter(~F.col("bucket").isin(*sorted(done)))
 
-    good, quarantine = transform(src, carry=("bucket",))
+    # ONE op-typed frame, persisted before the three-sink fan-out: the
+    # parse UDF and the source scan run exactly once per run — an
+    # unpersisted fan-out would re-run both once per sink (3x at 100 TB).
+    unified = transform_unified(src, carry=("bucket",)).persist()
+    good, quarantine = split_unified(unified, carry=("bucket",))
     triples = emit_triples(good, carry=("bucket",))
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -50,7 +54,7 @@ def run_pipeline(
     quarantine.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(out_root, "quarantine"))
     triples.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(out_root, "triples"))
 
-    metrics_df = partition_metrics(good, quarantine, triples)
+    metrics_df = partition_metrics(good, quarantine, triples, unified=unified)
     metrics_rows = metrics_df.persist()
 
     # Ledger commit per bucket, after data is durable.
@@ -77,4 +81,12 @@ def run_pipeline(
 
     manifest = write_run_manifest(out_root, metrics_rows, extra=extra)
     metrics_rows.unpersist()
+    unified.unpersist()
+
+    # GTG: the batch analog of the reference healthcheck/__gtg surface
+    # (smartlogic/healthcheck.go:1-147) — instead of probing live
+    # dependencies, reconcile the run: ledger complete, docs in = valid +
+    # quarantined, and the durable outputs re-read to the counts the job
+    # claims. Written into the manifest so an orchestrator can gate on it.
+    manifest = gtg_check(spark, out_root, n_buckets=n_buckets, write=True)
     return manifest

@@ -318,6 +318,86 @@ def derive_ids(doc_ok: DataFrame) -> DataFrame:
     )
 
 
+def transform_unified(
+    source: DataFrame,
+    content_col: str = "content",
+    carry: tuple[str, ...] = (),
+    engine: str = "arrow",
+) -> DataFrame:
+    """Full pipeline as ONE op-typed frame — the shape to persist before a
+    multi-sink fan-out (otherwise each sink re-runs the parse UDF over the
+    full input; at 100 TB that is one extra scan + UDF pass per sink).
+
+    Columns: doc_key, concept_uuid, authority, status, http_code, error,
+    concordances, upp_json, op [+ carry]. Valid rows have status
+    'ValidConcept' / http_code 200; quarantined rows carry the error and
+    null concordances/upp_json/op. The frame is a single narrow projection
+    (no union of filtered branches), so persisting it caches exactly one
+    parse pass.
+    """
+    carry = tuple(carry)
+    if engine == "arrow":
+        return _unified_arrow(source, content_col, carry)
+    if engine != "sql":
+        raise ValueError(f"unknown engine {engine!r}; use 'arrow' or 'sql'")
+
+    # SQL engine: derive_ids runs over every row (doc-error rows included —
+    # its HOF chain is null-safe and those rows are a small fraction), and a
+    # single when-chain folds doc_error/id_error into the row-wise status.
+    derived = derive_ids(doc_validate(parse_stage(source, content_col)))
+    doc_err = F.col("doc_error")
+    status = (
+        F.when(doc_err.isNotNull(), doc_err["status"])
+        .when(F.col("id_error").isNotNull(), F.lit(SYNTACTICALLY_INCORRECT))
+        .otherwise(F.lit(VALID_CONCEPT))
+    )
+    error = F.when(doc_err.isNotNull(), doc_err["error"]).otherwise(F.col("id_error"))
+    valid = status == VALID_CONCEPT
+    conc = F.when(valid, F.col("concordances"))
+    return derived.select(
+        "doc_key",
+        "concept_uuid",
+        F.when(valid, F.col("concept_authority")).alias("authority"),
+        status.alias("status"),
+        _http_code(status).alias("http_code"),
+        error.alias("error"),
+        conc.alias("concordances"),
+        # E1: byte-exact UPP JSON — key order = Go struct order
+        # (model.go:50-60); empty list stays [] (service.go:146). to_json
+        # of struct preserves field order; no nulls in the emitted fields.
+        F.when(
+            valid,
+            F.to_json(
+                F.struct(
+                    F.col("concept_authority").alias("authority"),
+                    F.col("concept_uuid").alias("uuid"),
+                    F.col("concordances"),
+                )
+            ),
+        ).alias("upp_json"),
+        F.when(
+            valid,
+            F.when(F.size("concordances") > 0, F.lit("upsert")).otherwise(F.lit("delete")),
+        ).alias("op"),
+        *carry,
+    )
+
+
+def split_unified(
+    unified: DataFrame, carry: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame]:
+    """Op-typed frame -> (concordances DF, quarantine DF); cheap filters,
+    so a persisted ``unified`` serves both without recomputing the parse."""
+    carry = tuple(carry)
+    good = unified.filter(F.col("status") == VALID_CONCEPT).select(
+        "doc_key", "concept_uuid", "authority", "concordances", *carry, "upp_json", "op"
+    )
+    quarantine = unified.filter(F.col("status") != VALID_CONCEPT).select(
+        "doc_key", "concept_uuid", "status", "error", *carry, "http_code"
+    )
+    return good, quarantine
+
+
 def transform(
     source: DataFrame,
     content_col: str = "content",
@@ -328,7 +408,7 @@ def transform(
 
     concordances: doc_key, concept_uuid, authority, concordances (array),
                   upp_json (byte-exact), op ('upsert'|'delete') [+ carry]
-    quarantine:   doc_key, concept_uuid, status, http_code, error [+ carry]
+    quarantine:   doc_key, concept_uuid, status, error [+ carry], http_code
 
     ``carry`` columns from the source (e.g. the partition bucket, repo,
     path) ride through to both outputs. Both engines are narrow projection
@@ -342,65 +422,21 @@ def transform(
       kernels, DuckDB-oracle-checkable. The two engines are byte-equal
       and cross-checked in tests.
     """
-    if engine == "arrow":
-        return _transform_arrow(source, content_col, tuple(carry))
-    if engine != "sql":
-        raise ValueError(f"unknown engine {engine!r}; use 'arrow' or 'sql'")
-    carry = tuple(carry)
-    parsed = doc_validate(parse_stage(source, content_col))
-
-    doc_bad = parsed.filter(F.col("doc_error").isNotNull()).select(
-        "doc_key",
-        "concept_uuid",
-        F.col("doc_error")["status"].alias("status"),
-        F.col("doc_error")["error"].alias("error"),
-        *carry,
-    )
-    doc_ok = derive_ids(parsed.filter(F.col("doc_error").isNull()))
-
-    id_bad = doc_ok.filter(F.col("id_error").isNotNull()).select(
-        "doc_key",
-        "concept_uuid",
-        F.lit(SYNTACTICALLY_INCORRECT).alias("status"),
-        F.col("id_error").alias("error"),
-        *carry,
-    )
-    quarantine = doc_bad.unionByName(id_bad).withColumn(
-        "http_code",
-        F.when(F.col("status") == SYNTACTICALLY_INCORRECT, F.lit(400))
-        .when(F.col("status") == SEMANTICALLY_INCORRECT, F.lit(422))
-        .otherwise(F.lit(500)),
-    )
-
-    good = doc_ok.filter(F.col("id_error").isNull()).select(
-        "doc_key",
-        "concept_uuid",
-        F.col("concept_authority").alias("authority"),
-        "concordances",
-        *carry,
-    )
-    # E1: byte-exact UPP JSON — key order = Go struct order (model.go:50-60);
-    # empty list stays [] (service.go:146). to_json of struct preserves
-    # field order; no nulls are possible in the emitted fields.
-    good = good.withColumn(
-        "upp_json",
-        F.to_json(
-            F.struct(
-                F.col("authority"),
-                F.col("concept_uuid").alias("uuid"),
-                F.col("concordances"),
-            )
-        ),
-    ).withColumn(
-        "op",
-        F.when(F.size("concordances") > 0, F.lit("upsert")).otherwise(F.lit("delete")),
-    )
-    return good, quarantine
+    return split_unified(transform_unified(source, content_col, carry, engine), tuple(carry))
 
 
-def _transform_arrow(
+def _http_code(status) -> Column:
+    return (
+        F.when(status == VALID_CONCEPT, F.lit(200))
+        .when(status == SYNTACTICALLY_INCORRECT, F.lit(400))
+        .when(status == SEMANTICALLY_INCORRECT, F.lit(422))
+        .otherwise(F.lit(500))
+    )
+
+
+def _unified_arrow(
     source: DataFrame, content_col: str, carry: tuple[str, ...]
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """Fused-UDF engine: one narrow projection, one Arrow exchange."""
     from .pyfold import convert_udf
 
@@ -421,40 +457,39 @@ def _transform_arrow(
     ).withColumn("_r", convert_udf(F.col(content_col)))
 
     r = F.col("_r")
-    good = df.filter(r["status"] == VALID_CONCEPT).select(
-        "doc_key",
-        r["concept_uuid"].alias("concept_uuid"),
-        r["authority"].alias("authority"),
+    valid = r["status"] == VALID_CONCEPT
+    conc = F.when(
+        valid,
         F.coalesce(
             r["concordances"],
             F.array().cast(
                 "array<struct<authority:string,authorityValue:string,uuid:string>>"
             ),
-        ).alias("concordances"),
-        *carry,
-        r["op"].alias("op"),
-    ).withColumn(
-        "upp_json",
-        F.to_json(
-            F.struct(
-                F.col("authority"),
-                F.col("concept_uuid").alias("uuid"),
-                F.col("concordances"),
-            )
         ),
-    ).select(
-        "doc_key", "concept_uuid", "authority", "concordances", *carry, "upp_json", "op"
     )
-    quarantine = df.filter(r["status"] != VALID_CONCEPT).select(
+    return df.select(
         "doc_key",
         r["concept_uuid"].alias("concept_uuid"),
+        F.when(valid, r["authority"]).alias("authority"),
         r["status"].alias("status"),
+        _http_code(r["status"]).alias("http_code"),
         r["error"].alias("error"),
+        conc.alias("concordances"),
+        F.when(
+            valid,
+            F.to_json(
+                F.struct(
+                    r["authority"].alias("authority"),
+                    r["concept_uuid"].alias("uuid"),
+                    F.coalesce(
+                        r["concordances"],
+                        F.array().cast(
+                            "array<struct<authority:string,authorityValue:string,uuid:string>>"
+                        ),
+                    ).alias("concordances"),
+                )
+            ),
+        ).alias("upp_json"),
+        r["op"].alias("op"),
         *carry,
-    ).withColumn(
-        "http_code",
-        F.when(F.col("status") == SYNTACTICALLY_INCORRECT, F.lit(400))
-        .when(F.col("status") == SEMANTICALLY_INCORRECT, F.lit(422))
-        .otherwise(F.lit(500)),
     )
-    return good, quarantine

@@ -77,6 +77,55 @@ def test_pipeline_run_and_resume(spark, tmp_path):
     assert m2["totals"] == m1["totals"]
 
 
+def test_pipeline_single_parse_pass(spark, tmp_path):
+    # the op-typed unified frame is persisted before the three-sink
+    # fan-out, so every source row flows through the parse stage exactly
+    # once per run — an unpersisted fan-out would show 3x here
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def counted(c):
+        acc.add(1)
+        return c
+
+    src = generate_source_repos(spark, 300, seed=9).withColumn(
+        "content", counted("content")
+    )
+    run_pipeline(spark, src, str(tmp_path / "kg3"), n_buckets=4, run_cc=False)
+    assert acc.value == 300
+
+
+def test_gtg_report_and_injected_mismatch(spark, tmp_path):
+    from smartlogic_concordance_transformer_spark.metrics import gtg_check
+
+    out = str(tmp_path / "kg4")
+    src = generate_source_repos(spark, 400, seed=13)
+    m = run_pipeline(spark, src, out, n_buckets=4, run_cc=False)
+    assert m["gtg"]["ok"]
+    assert m["gtg"]["ledger_complete"]
+    assert m["gtg"]["mismatches"] == []
+
+    # injected fault 1: clobber one bucket of the durable triples output
+    b = next(
+        int(k)
+        for k, v in m["per_bucket"].items()
+        if sum(x for name, x in v.items() if name.startswith("triples_")) > 0
+    )
+    shutil.rmtree(os.path.join(out, "triples", f"bucket={b}"))
+    m2 = gtg_check(spark, out, n_buckets=4)
+    assert not m2["gtg"]["ok"]
+    assert any(
+        x["check"] == "triples_durable" and x["bucket"] == b
+        for x in m2["gtg"]["mismatches"]
+    )
+
+    # injected fault 2: a missing ledger entry flips ledger_complete
+    os.remove(os.path.join(out, "_ledger", "bucket=2.json"))
+    m3 = gtg_check(spark, out, n_buckets=4)
+    assert not m3["gtg"]["ledger_complete"]
+    assert m3["gtg"]["missing_ledger"] == [2]
+
+
 def test_resume_noop_when_all_done(spark, tmp_path):
     out = str(tmp_path / "kg2")
     src = generate_source_repos(spark, 300, seed=3)
