@@ -283,6 +283,34 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(fps).select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the REAL MinHash->LSH->Jaccard composition end-to-end: plant a
+    # one-token-appended twin for every 10th doc, generate candidate pairs
+    # from banded LSH buckets (never all-pairs), then exact-verify with
+    # shingle Jaccard >= 0.8. The corpus has a clean decision gap — every
+    # qualifying pair (planted twins + natural near-dups) has j >= 0.9 and
+    # nothing else is above 0.4 — and at j >= 0.9 the per-pair LSH miss
+    # probability is (1-0.9^4)^16 ~ 4e-8, so the bucketed path returns
+    # exactly the all-pairs oracle's rows (which may stay all-pairs:
+    # oracles don't need to scale).
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    twins = d.filter(F.pmod("doc_id", 10) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zq")).alias("text"),
+    )
+    corpus = d.unionByName(twins)
+    sigs = minhash_signatures(corpus, num_hashes=64, k=3)
+    cand = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    pairs = ngram_jaccard_pairs(corpus, cand, k=3, threshold=0.8)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup: every 7th vector gets a x2-scaled twin
     # (cosine-invariant scaling -> exact planted duplicates); pairs with
@@ -540,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
         "text_pii": q_text_pii,
@@ -743,6 +772,29 @@ def oracle_sql() -> dict[str, str]:
                  round(len(list_intersect(a.w, b.w)) * 1.0
                        / len(list_distinct(list_concat(a.w, b.w))), 6) as jaccard
           from d a join d b on b.doc_id = a.doc_id + 1
+        """,
+        "dedup_lsh_verified": """
+          with base as (
+            select doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as toks
+            from documents),
+          twin as (
+            select doc_id + 100000 as doc_id,
+                   string_split(trim(regexp_replace(lower(text || ' zq'), '\\s+', ' ', 'g')), ' ') as toks
+            from documents where doc_id % 10 = 0),
+          allr as (select * from base union all select * from twin),
+          sets as (
+            select doc_id,
+                   list_distinct(list_transform(
+                     range(greatest(len(toks) - 2, 1)),
+                     i -> array_to_string(toks[i+1:i+3], ' '))) as s
+            from allr),
+          j as (
+            select a.doc_id as a, b.doc_id as b,
+                   len(list_intersect(a.s, b.s)) * 1.0
+                     / len(list_distinct(list_concat(a.s, b.s))) as jaccard
+            from sets a join sets b on a.doc_id < b.doc_id)
+          select a, b, round(jaccard, 6) as jaccard from j where jaccard >= 0.8
         """,
         "dedup_embed": """
           with base as (select vec_id, embedding from embeddings where vec_id < 1000),
