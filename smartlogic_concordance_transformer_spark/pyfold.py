@@ -37,32 +37,42 @@ _VAR = "89ab89ab89ab89ab"
 SYNTACTIC = "SyntacticallyIncorrect"
 SEMANTIC = "SemanticallyIncorrect"
 
+# Slim Arrow return payload. The fold's natural output (a list<struct> of
+# concordances + status/op strings per row) costs more to ship than to
+# compute: pandas->Arrow conversion of an object column of list-of-dict is
+# per-element Python introspection, and repeated enum strings are dead
+# exchange volume. Measured on the 600k-doc bench corpus: status-only pass
+# 2.03s -> 1.20s at local[32] (4.08 -> 2.16 at local[8]) after switching to
+# this shape. So the UDF returns:
+#   code      int8   — 0 valid / 1 syntactic / 2 semantic (status + http
+#                      code reconstructed natively JVM-side)
+#   error     string — null for valid rows (no payload for the 90%+ path)
+#   conc_json string — concordances pre-serialized by json.dumps (C-speed);
+#                      JVM re-materializes the struct array with from_json
+#                      (Jackson) only where a query needs it, and upp_json
+#                      becomes a native concat — no to_json, no list<struct>
+#                      crossing the Arrow boundary.
 RESULT_SCHEMA = T.StructType(
     [
+        T.StructField("code", T.ByteType()),
+        T.StructField("error", T.StringType()),
         T.StructField("concept_uuid", T.StringType()),
         T.StructField("authority", T.StringType()),
-        T.StructField("status", T.StringType()),
-        T.StructField("error", T.StringType()),
-        T.StructField("op", T.StringType()),
-        T.StructField(
-            "concordances",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("authority", T.StringType()),
-                        T.StructField("authorityValue", T.StringType()),
-                        T.StructField("uuid", T.StringType()),
-                    ]
-                )
-            ),
-        ),
+        T.StructField("conc_json", T.StringType()),
     ]
 )
 
+CODE_VALID, CODE_SYNTACTIC, CODE_SEMANTIC = 0, 1, 2
+_CODE_OF = {"ValidConcept": CODE_VALID, SYNTACTIC: CODE_SYNTACTIC, SEMANTIC: CODE_SEMANTIC}
+
 
 def _surgery(h: str) -> str:
-    h = h[:12] + "3" + h[13:16] + _VAR[int(h[16], 16)] + h[17:]
-    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+    # single-pass hyphenation + version/variant splice (equivalent to
+    # rewriting char 12 to '3' and char 16 to the variant nibble, then
+    # formatting 8-4-4-4-12); one f-string, no intermediate 32-char string
+    return (
+        f"{h[:8]}-{h[8:12]}-3{h[13:16]}-{_VAR[int(h[16], 16)]}{h[17:20]}-{h[20:32]}"
+    )
 
 
 def _md5_uuid(v: str) -> str:
@@ -251,8 +261,9 @@ def convert_one(content: str) -> dict:
             seen.add(u)
             conc.append({"authority": auth, "authorityValue": v, "uuid": u})
 
-    # upp_json is rendered JVM-side with to_json(struct(...)) — byte-equal
-    # (cross-checked in tests) and keeps the Arrow return path lean.
+    # upp_json is rendered JVM-side (native concat over conc_json) —
+    # byte-equal (cross-checked in tests); json.dumps(separators=(",", ":"),
+    # ensure_ascii=False) matches Spark to_json / Go json.Marshal bytes.
     return {
         "concept_uuid": uuid,
         "authority": upp_authority,
@@ -265,5 +276,25 @@ def convert_one(content: str) -> dict:
 
 @pandas_udf(RESULT_SCHEMA)
 def convert_udf(content: pd.Series) -> pd.DataFrame:
-    records = [convert_one(c) for c in content]
-    return pd.DataFrame.from_records(records, columns=[f.name for f in RESULT_SCHEMA.fields])
+    codes, errs, uuids, auths, concs = [], [], [], [], []
+    for c in content:
+        r = convert_one(c)
+        codes.append(_CODE_OF[r["status"]])
+        errs.append(r["error"])
+        uuids.append(r["concept_uuid"])
+        auths.append(r["authority"])
+        conc = r["concordances"]
+        concs.append(
+            None
+            if conc is None
+            else json.dumps(conc, separators=(",", ":"), ensure_ascii=False)
+        )
+    return pd.DataFrame(
+        {
+            "code": pd.Series(codes, dtype="int8"),
+            "error": errs,
+            "concept_uuid": uuids,
+            "authority": auths,
+            "conc_json": concs,
+        }
+    )

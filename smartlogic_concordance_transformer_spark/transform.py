@@ -434,10 +434,22 @@ def _http_code(status) -> Column:
     )
 
 
+_CONC_TYPE = "array<struct<authority:string,authorityValue:string,uuid:string>>"
+
+
 def _unified_arrow(
     source: DataFrame, content_col: str, carry: tuple[str, ...]
 ) -> DataFrame:
-    """Fused-UDF engine: one narrow projection, one Arrow exchange."""
+    """Fused-UDF engine: one narrow projection, one Arrow exchange.
+
+    The UDF returns the slim payload (see pyfold.RESULT_SCHEMA): an int8
+    status code and the concordances pre-serialized as one JSON string.
+    Everything user-facing is reconstructed natively here — status/http
+    from the code, the struct array with ``from_json`` (Jackson), and
+    ``upp_json`` as a plain concat (authority is an enum and concept_uuid
+    is regex-validated hex, so no JSON escaping is ever needed) — which
+    keeps the Arrow exchange to scalars and halves the UDF wall time.
+    """
     from .pyfold import convert_udf
 
     df = source.withColumn(
@@ -457,39 +469,35 @@ def _unified_arrow(
     ).withColumn("_r", convert_udf(F.col(content_col)))
 
     r = F.col("_r")
-    valid = r["status"] == VALID_CONCEPT
-    conc = F.when(
-        valid,
-        F.coalesce(
-            r["concordances"],
-            F.array().cast(
-                "array<struct<authority:string,authorityValue:string,uuid:string>>"
-            ),
-        ),
+    valid = r["code"] == 0
+    status = (
+        F.when(valid, F.lit(VALID_CONCEPT))
+        .when(r["code"] == 1, F.lit(SYNTACTICALLY_INCORRECT))
+        .otherwise(F.lit(SEMANTICALLY_INCORRECT))
     )
     return df.select(
         "doc_key",
         r["concept_uuid"].alias("concept_uuid"),
         F.when(valid, r["authority"]).alias("authority"),
-        r["status"].alias("status"),
-        _http_code(r["status"]).alias("http_code"),
+        status.alias("status"),
+        _http_code(status).alias("http_code"),
         r["error"].alias("error"),
-        conc.alias("concordances"),
+        F.when(valid, F.from_json(r["conc_json"], _CONC_TYPE)).alias("concordances"),
         F.when(
             valid,
-            F.to_json(
-                F.struct(
-                    r["authority"].alias("authority"),
-                    r["concept_uuid"].alias("uuid"),
-                    F.coalesce(
-                        r["concordances"],
-                        F.array().cast(
-                            "array<struct<authority:string,authorityValue:string,uuid:string>>"
-                        ),
-                    ).alias("concordances"),
-                )
+            F.concat(
+                F.lit('{"authority":"'),
+                r["authority"],
+                F.lit('","uuid":"'),
+                r["concept_uuid"],
+                F.lit('","concordances":'),
+                r["conc_json"],
+                F.lit("}"),
             ),
         ).alias("upp_json"),
-        r["op"].alias("op"),
+        F.when(
+            valid,
+            F.when(r["conc_json"] == "[]", F.lit("delete")).otherwise(F.lit("upsert")),
+        ).alias("op"),
         *carry,
     )

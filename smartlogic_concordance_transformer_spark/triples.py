@@ -31,41 +31,51 @@ def emit_triples(good: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """
     carry = tuple(carry)
 
-    # Build the per-doc triple array in ONE projection, then explode once.
-    # (A union of three filtered branches would re-run the whole upstream
-    # — including the parse/fold UDF — once per branch.)
-    def concords(c):
-        return F.struct(
-            F.col("concept_uuid").alias("subj"),
-            F.lit(PRED_CONCORDS).alias("pred"),
-            c["uuid"].alias("obj"),
-            c["authority"].alias("authority"),
-        )
-
-    def identifies(c):
-        return F.struct(
-            c["uuid"].alias("subj"),
-            F.lit(PRED_IDENTIFIES).alias("pred"),
-            F.concat(c["authority"], F.lit(":"), c["authorityValue"]).alias("obj"),
-            c["authority"].alias("authority"),
-        )
-
-    tombstone = F.array(
-        F.struct(
-            F.col("concept_uuid").alias("subj"),
-            F.lit(PRED_CONCORDS).alias("pred"),
-            F.lit(None).cast("string").alias("obj"),
-            F.lit(None).cast("string").alias("authority"),
+    # Two chained explodes, ZERO higher-order functions: HOF lambdas
+    # (transform/filter) are CodegenFallback — interpreted, allocation-heavy
+    # — while explode + CreateArray/CreateNamedStruct/CaseWhen all stay
+    # inside whole-stage codegen. First explode yields one row per
+    # concordance (or one null row for a tombstone doc); the second turns
+    # each into its (concordsWith, identifiesAs) pair. Still a single
+    # narrow stage: no shuffle, and the upstream parse UDF runs once.
+    e1 = good.select(
+        "doc_key",
+        "op",
+        "concept_uuid",
+        *carry,
+        F.explode_outer(
+            F.when(F.size("concordances") > 0, F.col("concordances"))
+        ).alias("_c"),
+    )
+    c = F.col("_c")
+    null_s = F.lit(None).cast("string")
+    pair = F.when(
+        c.isNotNull(),
+        F.array(
+            F.struct(
+                F.col("concept_uuid").alias("subj"),
+                F.lit(PRED_CONCORDS).alias("pred"),
+                c["uuid"].alias("obj"),
+                c["authority"].alias("authority"),
+            ),
+            F.struct(
+                c["uuid"].alias("subj"),
+                F.lit(PRED_IDENTIFIES).alias("pred"),
+                F.concat(c["authority"], F.lit(":"), c["authorityValue"]).alias("obj"),
+                c["authority"].alias("authority"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("concept_uuid").alias("subj"),
+                F.lit(PRED_CONCORDS).alias("pred"),
+                null_s.alias("obj"),
+                null_s.alias("authority"),
+            )
         )
     )
-    triple_arr = F.when(F.size("concordances") > 0, F.concat(
-        F.transform("concordances", concords),
-        F.transform("concordances", identifies),
-    )).otherwise(tombstone)
-
-    exploded = good.select(
-        "doc_key", "op", *carry, F.explode(triple_arr).alias("t")
-    )
+    exploded = e1.select("doc_key", "op", *carry, F.explode(pair).alias("t"))
     return exploded.select(
         "doc_key",
         F.col("t")["subj"].alias("subj"),
