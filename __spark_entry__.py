@@ -226,6 +226,28 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.triangleCount().select("id", F.col("count").cast("long").alias("n_tri"))
 
 
+def q_graph_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # motif finding over the dense 60-node multigraph: directed 2-paths
+    # (a)->(b)->(c), counted per middle vertex. find() compiles to one
+    # hash join per pattern term; the oracle is the same join in SQL.
+    from smartlogic_concordance_transformer_spark.graph import GraphFrame
+
+    d = _docs(spark, sf_dir)
+    gens = ["pmod(doc_id + 1, 60)", "pmod(doc_id + 2, 60)", "pmod(doc_id * 7 + 1, 60)"]
+    e = None
+    for gexpr in gens:
+        part = d.selectExpr(
+            "concat('n', cast(pmod(doc_id, 60) as string)) as src",
+            f"concat('n', cast({gexpr} as string)) as dst",
+        )
+        e = part if e is None else e.union(part)
+    v = e.selectExpr("src as id").union(e.selectExpr("dst as id")).distinct()
+    m = GraphFrame(v, e).find("(a)-[]->(b); (b)-[]->(c)")
+    return m.groupBy(F.col("b")["id"].alias("b")).agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
 
@@ -565,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
+        "graph_motifs": q_graph_motifs,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
@@ -755,6 +778,23 @@ def oracle_sql() -> dict[str, str]:
           cnt as (select id, count(*) as n_tri from corners group by id)
           select verts.id, coalesce(cnt.n_tri, 0) as n_tri
           from verts left join cnt using (id)
+        """,
+        "graph_motifs": """
+          with e0 as (
+            select 'n' || cast(doc_id % 60 as varchar) as src,
+                   'n' || cast((doc_id + 1) % 60 as varchar) as dst
+            from documents
+            union all
+            select 'n' || cast(doc_id % 60 as varchar),
+                   'n' || cast((doc_id + 2) % 60 as varchar)
+            from documents
+            union all
+            select 'n' || cast(doc_id % 60 as varchar),
+                   'n' || cast((doc_id * 7 + 1) % 60 as varchar)
+            from documents)
+          select e1.dst as b, count(*) as n_paths
+          from e0 e1 join e0 e2 on e1.dst = e2.src
+          group by e1.dst
         """,
         "dedup_exact": """
           select doc_id from (

@@ -20,10 +20,39 @@ semantics) and every vertex keeps the reset floor.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import re
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .cc import _symmetrize, connected_components
+
+_MOTIF_TERM = re.compile(r"^\((\w*)\)-\[(\w*)\]->\((\w*)\)$")
+
+
+class _AM:
+    """GraphFrames ``AggregateMessages`` column references: build the
+    sendToSrc/sendToDst expressions against ``AM.src``/``AM.dst``/
+    ``AM.edge`` and the aggregate against ``AM.msg``."""
+
+    @property
+    def src(self) -> Column:
+        return F.col("src")
+
+    @property
+    def dst(self) -> Column:
+        return F.col("dst")
+
+    @property
+    def edge(self) -> Column:
+        return F.col("edge")
+
+    @property
+    def msg(self) -> Column:
+        return F.col("MSG")
+
+
+AggregateMessages = _AM()
 
 
 class GraphFrame:
@@ -190,6 +219,112 @@ class GraphFrame:
             "distances",
             F.coalesce("distances", F.map_from_arrays(F.array(), F.array())),
         )
+
+    def find(self, pattern: str) -> DataFrame:
+        """GraphFrames motif finding: ``pattern`` is a semicolon-separated
+        list of edge terms ``(a)-[e]->(b)``. Named vertices unify across
+        terms; anonymous vertices ``()`` and edges ``[]`` match anything
+        and produce no output column. Returns one column per named element
+        in first-appearance order — vertices as their full attribute
+        struct, edges as ``struct(src, dst, ...)``.
+
+        Plan shape: one hash join per term on the shared vertex ids (a
+        disconnected term becomes an explicit cross join, exactly like
+        GraphFrames), then one broadcast-able join per named vertex to
+        attach attributes. No HOFs, no UDFs. Negated terms (``!(a)-...``)
+        are not supported.
+        """
+        terms = [t.strip() for t in pattern.split(";") if t.strip()]
+        if not terms:
+            raise ValueError("empty motif pattern")
+        parsed = []
+        for t in terms:
+            m = _MOTIF_TERM.match(t)
+            if not m:
+                raise ValueError(
+                    f"unsupported motif term {t!r} (expected '(a)-[e]->(b)')"
+                )
+            parsed.append(m.groups())
+
+        edge_names = [e for _, e, _ in parsed if e]
+        if len(edge_names) != len(set(edge_names)):
+            raise ValueError("edge names must be distinct within a pattern")
+
+        order: list[str] = []  # named elements in first-appearance order
+        kinds: dict[str, str] = {}
+        cur: DataFrame | None = None
+        bound: set[str] = set()
+        for i, (sv, en, dv) in enumerate(parsed):
+            for name, kind in ((sv, "v"), (en, "e"), (dv, "v")):
+                if name and name not in kinds:
+                    kinds[name] = kind
+                    order.append(name)
+            cols = []
+            if sv:
+                cols.append(F.col("src").alias(f"__v_{sv}"))
+            if dv:
+                cols.append(F.col("dst").alias(f"__v_{dv}"))
+            if en:
+                cols.append(F.struct(*self._e.columns).alias(f"__e_{en}"))
+            term_df = self._e.select(*cols) if cols else self._e.select(
+                F.lit(1).alias(f"__anon_{i}")
+            )
+            if sv and sv == dv:
+                # self-loop term: both ends name the same vertex
+                term_df = self._e.filter(F.col("src") == F.col("dst")).select(
+                    F.col("src").alias(f"__v_{sv}"),
+                    *( [F.struct(*self._e.columns).alias(f"__e_{en}")] if en else [] ),
+                )
+            if cur is None:
+                cur = term_df
+            else:
+                keys = sorted(
+                    {f"__v_{n}" for n in (sv, dv) if n and n in bound}
+                )
+                cur = cur.join(term_df, keys) if keys else cur.crossJoin(term_df)
+            bound.update(n for n in (sv, dv) if n)
+
+        out_cols = []
+        for name in order:
+            if kinds[name] == "e":
+                out_cols.append(F.col(f"__e_{name}").alias(name))
+            else:
+                v_struct = self._v.select(
+                    F.col("id").alias(f"__v_{name}"),
+                    F.struct(*self._v.columns).alias(f"__s_{name}"),
+                )
+                cur = cur.join(v_struct, f"__v_{name}")
+                out_cols.append(F.col(f"__s_{name}").alias(name))
+        return cur.select(*out_cols)
+
+    def aggregateMessages(
+        self,
+        aggCol: Column,
+        sendToSrc: Column | None = None,
+        sendToDst: Column | None = None,
+    ) -> DataFrame:
+        """GraphFrames ``aggregateMessages``: evaluate ``sendToSrc`` /
+        ``sendToDst`` over each triplet (referencing ``AM.src``/``AM.dst``/
+        ``AM.edge``), then aggregate the messages arriving at each vertex
+        with ``aggCol`` (referencing ``AM.msg``). Returns (id, agg result).
+
+        One triplet join + one map-side-combinable aggregation — the same
+        shape every message-passing round (pageRank, LPA) compiles to.
+        """
+        if sendToSrc is None and sendToDst is None:
+            raise ValueError("at least one of sendToSrc/sendToDst is required")
+        trip = self.triplets
+        parts = []
+        if sendToSrc is not None:
+            parts.append(
+                trip.select(F.col("src")["id"].alias("id"), sendToSrc.alias("MSG"))
+            )
+        if sendToDst is not None:
+            parts.append(
+                trip.select(F.col("dst")["id"].alias("id"), sendToDst.alias("MSG"))
+            )
+        msgs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        return msgs.filter(F.col("MSG").isNotNull()).groupBy("id").agg(aggCol)
 
     def triangleCount(self) -> DataFrame:
         """Triangles through each vertex. Canonical-direction edges

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .transform import transform
+from .transform import split_unified, transform_unified
 from .triples import emit_triples
 
 SOURCE_SCHEMA = T.StructType(
@@ -91,13 +91,17 @@ def start_stream(
     checkpoint_dir = checkpoint_dir or os.path.join(out_root, "_stream_checkpoint")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        good, quar = transform(batch_df)
+        # persist the op-typed frame before the two-sink fan-out so the
+        # parse UDF runs once per micro-batch, not once per sink
+        unified = transform_unified(batch_df).persist()
+        good, quar = split_unified(unified)
         emit_triples(good).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             os.path.join(out_root, "triples")
         )
         quar.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             os.path.join(out_root, "quarantine")
         )
+        unified.unpersist()
 
     writer = (
         source.writeStream.foreachBatch(sink)

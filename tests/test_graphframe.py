@@ -96,3 +96,58 @@ def test_label_propagation_deterministic_within_components(g):
     # a label never crosses a component boundary
     for v, lab in r1.items():
         assert comp[lab] == comp[v], (v, lab)
+
+
+def test_motif_two_path(g):
+    # E = a->b, b->c, c->a, c->d, x->y; 2-paths (u)->(v)->(w):
+    # a->b->c, b->c->a, b->c->d, c->a->b
+    rows = {
+        (r["u"]["id"], r["v"]["id"], r["w"]["id"])
+        for r in g.find("(u)-[]->(v); (v)-[]->(w)").collect()
+    }
+    assert rows == {("a", "b", "c"), ("b", "c", "a"), ("b", "c", "d"), ("c", "a", "b")}
+
+
+def test_motif_directed_triangle(g):
+    rows = {
+        (r["u"]["id"], r["v"]["id"], r["w"]["id"])
+        for r in g.find("(u)-[]->(v); (v)-[]->(w); (w)-[]->(u)").collect()
+    }
+    # the a->b->c->a cycle, once per rotation
+    assert rows == {("a", "b", "c"), ("b", "c", "a"), ("c", "a", "b")}
+
+
+def test_motif_named_edge_and_anonymous_vertex(g):
+    out = g.find("(u)-[e]->()")
+    rows = {(r["u"]["id"], r["e"]["src"], r["e"]["dst"]) for r in out.collect()}
+    assert rows == {(s, s, d) for s, d in E}
+    assert out.columns == ["u", "e"]
+
+
+def test_motif_rejects_bad_input(g):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported motif term"):
+        g.find("(a)-(b)")
+    with _pytest.raises(ValueError, match="distinct"):
+        g.find("(a)-[e]->(b); (b)-[e]->(c)")
+
+
+def test_aggregate_messages_in_degree_and_neighbor_sum(g, spark):
+    from pyspark.sql import functions as F
+
+    from smartlogic_concordance_transformer_spark.graph import AggregateMessages as AM
+
+    # in-degree: every edge sends 1 to its dst
+    indeg = g.aggregateMessages(F.count(AM.msg).alias("n"), sendToDst=F.lit(1))
+    assert {(r.id, r.n) for r in indeg.collect()} == {
+        ("b", 1), ("c", 1), ("a", 1), ("d", 1), ("y", 1),
+    }
+    # each edge sends its dst id to the src: collect sorted neighbor lists
+    nbrs = g.aggregateMessages(
+        F.array_sort(F.collect_list(AM.msg)).alias("out_nbrs"),
+        sendToSrc=AM.dst["id"],
+    )
+    assert {(r.id, tuple(r.out_nbrs)) for r in nbrs.collect()} == {
+        ("a", ("b",)), ("b", ("c",)), ("c", ("a", "d")), ("x", ("y",)),
+    }
