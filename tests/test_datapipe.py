@@ -176,6 +176,19 @@ def test_ivf_search_recall(spark, emb):
     assert all(top1[q] == q for q in top1)
 
 
+def test_ivf_training_collect_is_row_bounded(spark, emb):
+    # the driver-side training collect is capped by ROW COUNT, not fraction
+    # (a fraction scales with corpus size — unsafe at 10^9 rows). With
+    # max_train_rows < k, k-means can only return as many centroids as
+    # training rows, proving the limit reached the collect.
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, k=16, sample_fraction=1.0, max_train_rows=7)
+    assert len(cents) == 7
+
+
 def test_scrub_pii(spark):
     from smartlogic_concordance_transformer_spark.datapipe import scrub_pii
 
