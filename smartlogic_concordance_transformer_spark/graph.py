@@ -220,6 +220,85 @@ class GraphFrame:
             F.coalesce("distances", F.map_from_arrays(F.array(), F.array())),
         )
 
+    def filterVertices(self, condition: Column | str) -> "GraphFrame":
+        """Subgraph induced by vertices matching ``condition``: edges keep
+        only endpoints that survive (two semi-joins, broadcast-able)."""
+        v = self._v.filter(condition)
+        ids = v.select("id")
+        e = (
+            self._e.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select(*self._e.columns)
+        )
+        return GraphFrame(v, e)
+
+    def filterEdges(self, condition: Column | str) -> "GraphFrame":
+        """Same vertices, edges filtered (GraphFrames semantics: vertices
+        are NOT dropped — compose with dropIsolatedVertices for that)."""
+        return GraphFrame(self._v, self._e.filter(condition))
+
+    def dropIsolatedVertices(self) -> "GraphFrame":
+        """Remove vertices that appear in no edge (one distinct over the
+        exploded endpoints + a semi-join)."""
+        ends = self._e.select(F.explode(F.array("src", "dst")).alias("id")).distinct()
+        return GraphFrame(self._v.join(ends, "id", "left_semi"), self._e)
+
+    def bfs(
+        self,
+        fromExpr: Column | str,
+        toExpr: Column | str,
+        maxPathLength: int = 10,
+    ) -> DataFrame:
+        """GraphFrames BFS: shortest directed paths from vertices matching
+        ``fromExpr`` to vertices matching ``toExpr``. Returns the paths of
+        the FIRST length at which any match exists, shaped like
+        GraphFrames: columns ``from, e0, v1, e1, …, to`` (vertex/edge
+        attribute structs). Length-0 matches (a vertex satisfying both)
+        return a single ``from``/``to`` pair of the same vertex.
+
+        Each hop is one hash join frontier-expansion; the early-exit count
+        per hop is the only driver-side action, so the plan is
+        hop-bounded, never all-pairs.
+        """
+        v_struct = F.struct(*self._v.columns)
+        frm = self._v.filter(fromExpr)
+        if frm.isEmpty():
+            return frm.select(v_struct.alias("from"), v_struct.alias("to")).limit(0)
+
+        # length 0: a source vertex that already satisfies toExpr
+        hit0 = frm.filter(toExpr)
+        if not hit0.isEmpty():
+            return hit0.select(v_struct.alias("from"), v_struct.alias("to"))
+
+        e_struct = F.struct(*self._e.columns)
+        edges = self._e.select(
+            "src", "dst", e_struct.alias("__e")
+        ).localCheckpoint()
+        v_attrs = self._v.select(F.col("id").alias("__vid"), v_struct.alias("__v"))
+
+        hit_ids = self._v.filter(toExpr).select(F.col("id").alias("__head"))
+
+        # paths: (from, e0, v1, …, __head id) — grow one hop per round
+        paths = frm.select(v_struct.alias("from"), F.col("id").alias("__head"))
+        for hop in range(maxPathLength):
+            grown = (
+                paths.join(edges.withColumnRenamed("src", "__head"), "__head")
+                .drop("__head")
+                .withColumnRenamed("dst", "__head")
+                .withColumnRenamed("__e", f"e{hop}")
+                .join(v_attrs.withColumnRenamed("__vid", "__head"), "__head")
+                .withColumnRenamed("__v", f"v{hop + 1}")
+                .localCheckpoint()
+            )
+            hits = grown.join(hit_ids, "__head", "left_semi")
+            if not hits.isEmpty():
+                cols = ["from"] + [
+                    c for i in range(hop + 1) for c in (f"e{i}", f"v{i + 1}")
+                ]
+                return hits.select(*cols).withColumnRenamed(f"v{hop + 1}", "to")
+            paths = grown
+        return frm.select(v_struct.alias("from"), v_struct.alias("to")).limit(0)
+
     def find(self, pattern: str) -> DataFrame:
         """GraphFrames motif finding: ``pattern`` is a semicolon-separated
         list of edge terms ``(a)-[e]->(b)``. Named vertices unify across

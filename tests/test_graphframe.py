@@ -151,3 +151,32 @@ def test_aggregate_messages_in_degree_and_neighbor_sum(g, spark):
     assert {(r.id, tuple(r.out_nbrs)) for r in nbrs.collect()} == {
         ("a", ("b",)), ("b", ("c",)), ("c", ("a", "d")), ("x", ("y",)),
     }
+
+
+def test_bfs_shortest_path(g):
+    # a->b->c->d is the only route from a to d (3 hops)
+    out = g.bfs("id = 'a'", "id = 'd'")
+    rows = out.collect()
+    assert out.columns == ["from", "e0", "v1", "e1", "v2", "e2", "to"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["from"]["id"], r["v1"]["id"], r["v2"]["id"], r["to"]["id"]) == ("a", "b", "c", "d")
+    assert (r["e0"]["src"], r["e0"]["dst"]) == ("a", "b")
+
+
+def test_bfs_zero_length_and_unreachable(g):
+    zero = g.bfs("id = 'a'", "id = 'a'").collect()
+    assert len(zero) == 1 and zero[0]["from"]["id"] == "a" and zero[0]["to"]["id"] == "a"
+    assert g.bfs("id = 'x'", "id = 'd'", maxPathLength=6).count() == 0
+    assert g.bfs("id = 'zzz'", "id = 'd'").count() == 0
+
+
+def test_filter_vertices_and_edges(g):
+    sub = g.filterVertices("id in ('a','b','c')")
+    assert {r.id for r in sub.vertices.collect()} == {"a", "b", "c"}
+    assert {(r.src, r.dst) for r in sub.edges.collect()} == {("a", "b"), ("b", "c"), ("c", "a")}
+    fe = g.filterEdges("src = 'c'")
+    assert fe.vertices.count() == 7  # vertices untouched
+    assert {(r.src, r.dst) for r in fe.edges.collect()} == {("c", "a"), ("c", "d")}
+    iso = fe.dropIsolatedVertices()
+    assert {r.id for r in iso.vertices.collect()} == {"a", "c", "d"}
