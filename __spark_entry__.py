@@ -333,6 +333,20 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # operator composition: near-dup pairs (MinHash->LSH->Jaccard, same
+    # construction as dedup_lsh_verified) -> connected components ->
+    # (doc, cluster representative = min doc_id in the class). The oracle
+    # computes the same transitive closure with a recursive CTE — fine at
+    # oracle scale; the engine side is the O(log^2 n) star algorithm.
+    pairs = q_dedup_lsh_verified(spark, sf_dir).select("a", "b")
+    cc = connected_components(pairs, src="a", dst="b")
+    return cc.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup: every 7th vector gets a x2-scaled twin
     # (cosine-invariant scaling -> exact planted duplicates); pairs with
@@ -592,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_lsh_verified": q_dedup_lsh_verified,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
         "text_pii": q_text_pii,
@@ -835,6 +850,36 @@ def oracle_sql() -> dict[str, str]:
                      / len(list_distinct(list_concat(a.s, b.s))) as jaccard
             from sets a join sets b on a.doc_id < b.doc_id)
           select a, b, round(jaccard, 6) as jaccard from j where jaccard >= 0.8
+        """,
+        "dedup_clusters": """
+          with recursive base as (
+            select doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as toks
+            from documents),
+          twin as (
+            select doc_id + 100000 as doc_id,
+                   string_split(trim(regexp_replace(lower(text || ' zq'), '\\s+', ' ', 'g')), ' ') as toks
+            from documents where doc_id % 10 = 0),
+          allr as (select * from base union all select * from twin),
+          sets as (
+            select doc_id,
+                   list_distinct(list_transform(
+                     range(greatest(len(toks) - 2, 1)),
+                     i -> array_to_string(toks[i+1:i+3], ' '))) as s
+            from allr),
+          p as (
+            select a.doc_id as a, b.doc_id as b
+            from sets a join sets b on a.doc_id < b.doc_id
+            where len(list_intersect(a.s, b.s)) * 1.0
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+          e as (select a as u, b as v from p union select b, a from p),
+          n as (select distinct u as node from e),
+          reach(node, r) as (
+            select node, node from n
+            union
+            select e.u, reach.r from e join reach on reach.node = e.v
+          )
+          select node, min(r) as component from reach group by node
         """,
         "dedup_embed": """
           with base as (select vec_id, embedding from embeddings where vec_id < 1000),
