@@ -35,6 +35,27 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_udf():
+    """Vectorized pairwise cosine: one numpy batch per Arrow exchange.
+    Use for bulk verify stages (the expression form above is interpreted
+    CodegenFallback — right for oracle-matched scoring of modest row
+    counts, ~10x too slow for candidate-pair verification)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a, b):
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype="float64"))
+        A = np.vstack(a.to_numpy())
+        B = np.vstack(b.to_numpy())
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(num / den)
+
+    return _cos
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,17 +90,32 @@ def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def lsh_signature(vec_col, planes: list[list[float]]):
-    """Sign-bit bucket id: bit p = 1 iff vec . plane_p > 0. Native exprs."""
-    bits = [
-        F.when(
-            _dot(vec_col, F.array(*[F.lit(float(x)) for x in plane])) > 0, F.lit(1 << p)
-        ).otherwise(F.lit(0))
-        for p, plane in enumerate(planes)
-    ]
-    out = F.lit(0)
-    for b in bits:
-        out = out + b
-    return out.cast("long")
+    """Sign-bit bucket id: bit p = 1 iff vec . plane_p > 0.
+
+    Vectorized pandas UDF: one numpy matmul per Arrow batch (n x dim @
+    dim x p). The expression alternative (``F.aggregate`` over
+    ``zip_with`` per plane) is a CodegenFallback HOF — interpreted,
+    per-element allocation — and measured ~10x slower on the bench
+    corpus; batched BLAS is the right kernel at any scale.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype="float64").T  # dim x p
+    weights = (1 << np.arange(P.shape[1], dtype=np.int64))
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which the pandas_udf hint-inference can't resolve for local closures
+    @pandas_udf("long")
+    def _sig(v):
+        if len(v) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        X = np.vstack(v.to_numpy())  # n x dim
+        bits = (X @ P) > 0
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _sig(c.cast("array<double>"))
 
 
 def lsh_near_dup_pairs(
@@ -123,7 +159,11 @@ def lsh_near_dup_pairs(
     paired = cand.join(
         vecs.withColumnRenamed("_k", "a").withColumnRenamed("_v", "_va"), "a"
     ).join(vecs.withColumnRenamed("_k", "b").withColumnRenamed("_v", "_vb"), "b")
-    return paired.filter(cosine(F.col("_va"), F.col("_vb")) >= threshold).select("a", "b")
+    cos = cosine_udf()
+    return paired.filter(
+        cos(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>"))
+        >= threshold
+    ).select("a", "b")
 
 
 def train_ivf_centroids(
