@@ -114,7 +114,10 @@ def connected_components(
         return cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
     prev_fp = None
     for _ in range(max_iter):
-        cur = _small_star(_large_star(cur, salt), salt).localCheckpoint()
+        # lazy checkpoint: the fingerprint action right below materializes
+        # it, so each round costs ONE job instead of two (eager checkpoint
+        # job + fingerprint job)
+        cur = _small_star(_large_star(cur, salt), salt).localCheckpoint(eager=False)
         fp = _fingerprint(cur)
         if fp == prev_fp:
             # star forest: every remaining edge points node -> root
