@@ -449,6 +449,53 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
 
 
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE-proxy word-piece count: camelCase boundary split + every
+    # letter/digit run or single punctuation char is one piece
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count("text", bpe_like=True).alias("n_pieces")
+    )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic hash-based train/test split: a per-row projection
+    # (no RNG, no shuffle); assignment is a pure function of (salt, key)
+    # so the DuckDB oracle reproduces it exactly
+    from smartlogic_concordance_transformer_spark.datapipe.sampling import (
+        train_test_split,
+    )
+
+    return train_test_split(_docs(spark, sf_dir), key_col="doc_id").select(
+        "doc_id", "split"
+    )
+
+
+def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-group mean/stddev derived from EXACT decimal sums (sum and
+    # sum-of-squares), so both engines compute identical doubles — naive
+    # float aggregation would differ by summation order
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    v = F.col("value").cast("decimal(18,6)")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_ss"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    return agg.select(
+        "event_type",
+        "n",
+        "min_v",
+        "max_v",
+        F.round(s / n, 6).alias("mean_v"),
+        F.round(F.sqrt((ss - s * s / n) / (n - F.lit(1.0))), 6).alias("stddev_v"),
+    )
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -616,6 +663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_tokens_bpe": q_text_tokens_bpe,
+        "split_assign": q_split_assign,
+        "events_stats": q_events_stats,
         "sim_topk": q_sim_topk,
         "sim_ivf": q_sim_ivf,
         "streaming_sessions": q_streaming_sessions,
@@ -978,6 +1028,36 @@ def oracle_sql() -> dict[str, str]:
                  count(*) as n,
                  cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty
           from lineitem group by rollup (l_returnflag, l_linestatus)
+        """,
+        "text_tokens_bpe": r"""
+          with p as (
+            select doc_id,
+                   regexp_replace(
+                     regexp_replace(text, '([a-z])([A-Z])', '\1 \2', 'g'),
+                     '([\p{L}\p{N}]+|[^\p{L}\p{N}\s])', '\1 ', 'g') as x
+            from documents)
+          select doc_id,
+                 len(string_split(trim(regexp_replace(x, '\s+', ' ', 'g')), ' ')) as n_pieces
+          from p
+        """,
+        "split_assign": """
+          select doc_id,
+                 case when substr(md5('split:' || cast(doc_id as varchar)), 1, 2) < '1a'
+                      then 'test' else 'train' end as split
+          from documents
+        """,
+        "events_stats": """
+          with a as (
+            select event_type, count(*) as n,
+                   sum(cast(value as decimal(18,6))) as s,
+                   sum(cast(value as decimal(18,6)) * cast(value as decimal(18,6))) as ss,
+                   min(value) as min_v, max(value) as max_v
+            from events group by event_type)
+          select event_type, n, min_v, max_v,
+                 round(cast(s as double) / cast(n as double), 6) as mean_v,
+                 round(sqrt((cast(ss as double) - cast(s as double) * cast(s as double)
+                             / cast(n as double)) / (cast(n as double) - 1.0)), 6) as stddev_v
+          from a
         """,
         "events_by_type": """
           select event_type, count(*) as n,

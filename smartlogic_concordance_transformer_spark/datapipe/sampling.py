@@ -1,0 +1,43 @@
+"""Deterministic dataset splitting for training pipelines.
+
+A train/test split at 100 TB must be (a) reproducible across runs and
+engines with no RNG state, (b) a pure per-row projection (no shuffle, no
+join, no sampling pass), and (c) stable under re-partitioning and resume.
+Hash-assignment gives all three: the split is a function of the row key
+alone.
+
+The bucket is the first two hex chars of ``md5(salt ':' key)`` — 256
+buckets compared lexicographically against a threshold prefix, so any
+engine (including the DuckDB oracle) reproduces the assignment exactly
+without 64-bit hex→int conversion quirks. Granularity is 1/256 ≈ 0.4%.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_bucket(key, salt: str = "split") -> Column:
+    """(0..255) bucket as a 2-char lowercase hex string."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 2)
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    test_buckets: int = 26,
+    salt: str = "split",
+) -> DataFrame:
+    """+ ``split`` column: 'test' for ``test_buckets``/256 of rows
+    (26/256 ≈ 10.2%), 'train' otherwise. Zero-shuffle projection; the
+    same (key, salt) always lands on the same side, so reruns, resumes,
+    and different engines agree row-for-row."""
+    if not 0 <= test_buckets <= 256:
+        raise ValueError("test_buckets must be in [0, 256]")
+    threshold = format(test_buckets, "02x")
+    b = split_bucket(key_col, salt)
+    return df.withColumn(
+        "split", F.when(b < threshold, F.lit("test")).otherwise(F.lit("train"))
+    )
