@@ -116,9 +116,17 @@ class GraphFrame:
         of pr(u)/outDeg(u). Fixed ``maxIter`` rounds (no tol parameter —
         a convergence test per round costs an extra action at scale)."""
         alpha = float(resetProbability)
-        edges = self._e.select("src", "dst").join(
-            self.outDegrees.withColumnRenamed("id", "src"), "src"
-        ).localCheckpoint()
+        # out-degrees joined once, then the edge table is hash-partitioned
+        # on src BEFORE checkpointing: localCheckpoint preserves the
+        # partitioning, so every iteration's ranks join shuffles only the
+        # (small) rank side — the big edge table is exchanged once per
+        # pageRank call, not once per iteration.
+        edges = (
+            self._e.select("src", "dst")
+            .join(self.outDegrees.withColumnRenamed("id", "src"), "src")
+            .repartition("src")
+            .localCheckpoint()
+        )
         ranks = self._v.select("id", F.lit(1.0).alias("pagerank"))
         for _ in range(maxIter):
             contribs = (
@@ -145,7 +153,9 @@ class GraphFrame:
         neighbors' most frequent label (ties -> min label, so runs are
         deterministic unlike stock LPA). Undirected semantics. One
         groupBy + one window per round; lineage truncated per round."""
-        sym = _symmetrize(self._e, "src", "dst").localCheckpoint()  # (u, v)
+        # partitioned on the join key before checkpointing (see pageRank):
+        # per-round joins reuse this exchange instead of re-shuffling edges
+        sym = _symmetrize(self._e, "src", "dst").repartition("v").localCheckpoint()
         labels = self._v.select("id", F.col("id").alias("label"))
         rank_w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("label"))
         for _ in range(maxIter):

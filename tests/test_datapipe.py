@@ -224,3 +224,24 @@ def test_strip_boilerplate(spark):
     assert out[2] == "body line 2\nsecond body 2"  # order preserved
     assert out[9] == ""  # fully-boilerplate doc kept as empty, not dropped
     assert set(out) == {0, 1, 2, 3, 9}
+
+
+def test_asof_join_backward_semantics(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.asof import asof_join
+
+    l = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u1", 5, "c"), ("u2", 15, "d")],
+        "user string, ts long, tag string",
+    )
+    r = spark.createDataFrame(
+        [("u1", 7, 1.0), ("u1", 10, 2.0), ("u1", 18, 3.0), ("u3", 1, 9.0)],
+        "user string, ts long, v double",
+    )
+    out = {
+        (x.user, x.ts): (x.asof_ts, x.asof_v)
+        for x in asof_join(l, r, on="ts", by=["user"]).collect()
+    }
+    assert out[("u1", 10)] == (10, 2.0)   # equal timestamp is visible (<=)
+    assert out[("u1", 20)] == (18, 3.0)   # most recent prior
+    assert out[("u1", 5)] == (None, None) # nothing at-or-before
+    assert out[("u2", 15)] == (None, None)  # keyed: u3's rows invisible
