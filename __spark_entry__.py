@@ -646,6 +646,43 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot: event counts per user bucket, one column per event type.
+    # Explicit pivot values keep the plan single-pass (no distinct-values
+    # pre-scan) — the form you want at scale.
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    p = (
+        ev.groupBy(F.pmod("user_id", 100).alias("ubucket"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return p.select(
+        "ubucket", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cube: totals for every subset of (returnflag, linestatus) — the
+    # rollup variant with all 2^k groupings
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
 def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return ev.groupBy("event_type").agg(
@@ -699,6 +736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "set_ops": q_set_ops,
         "rollup_pricing": q_rollup_pricing,
+        "events_pivot": q_events_pivot,
+        "cube_pricing": q_cube_pricing,
         "events_by_type": q_events_by_type,
     }
 
@@ -1079,6 +1118,22 @@ def oracle_sql() -> dict[str, str]:
                  case when substr(md5('split:' || cast(doc_id as varchar)), 1, 2) < '1a'
                       then 'test' else 'train' end as split
           from documents
+        """,
+        "events_pivot": """
+          select user_id % 100 as ubucket,
+                 count(*) filter (where event_type = 'click') as click,
+                 count(*) filter (where event_type = 'error') as error,
+                 count(*) filter (where event_type = 'purchase') as purchase,
+                 count(*) filter (where event_type = 'signup') as signup,
+                 count(*) filter (where event_type = 'view') as view
+          from events group by 1
+        """,
+        "cube_pricing": """
+          select coalesce(l_returnflag, 'ALL') as returnflag,
+                 coalesce(l_linestatus, 'ALL') as linestatus,
+                 count(*) as n,
+                 cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty
+          from lineitem group by cube (l_returnflag, l_linestatus)
         """,
         "events_stats": """
           with a as (
