@@ -274,6 +274,18 @@ def convert_one(content: str) -> dict:
     }
 
 
+# chars that force a concordance value through json.dumps escaping; the
+# overwhelmingly common clean value is emitted raw (byte-identical to
+# json.dumps(ensure_ascii=False), which also leaves non-ASCII unescaped)
+_NEEDS_ESC = re.compile(r'[\\"\x00-\x1f]')
+
+
+def _jstr(s: str) -> str:
+    if _NEEDS_ESC.search(s) is None:
+        return '"%s"' % s
+    return json.dumps(s, ensure_ascii=False)
+
+
 @pandas_udf(RESULT_SCHEMA)
 def convert_udf(content: pd.Series) -> pd.DataFrame:
     codes, errs, uuids, auths, concs = [], [], [], [], []
@@ -284,11 +296,18 @@ def convert_udf(content: pd.Series) -> pd.DataFrame:
         uuids.append(r["concept_uuid"])
         auths.append(r["authority"])
         conc = r["concordances"]
-        concs.append(
-            None
-            if conc is None
-            else json.dumps(conc, separators=(",", ":"), ensure_ascii=False)
-        )
+        if conc is None:
+            concs.append(None)
+        else:
+            concs.append(
+                "["
+                + ",".join(
+                    '{"authority":"%s","authorityValue":%s,"uuid":"%s"}'
+                    % (d["authority"], _jstr(d["authorityValue"]), d["uuid"])
+                    for d in conc
+                )
+                + "]"
+            )
     return pd.DataFrame(
         {
             "code": pd.Series(codes, dtype="int8"),
