@@ -41,6 +41,26 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: Iterable[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key.
+
+    On a stream, ``dropDuplicatesWithinWatermark`` bounds the dedup state
+    to the watermark horizon — the only way exact dedup is possible on an
+    unbounded stream (global dropDuplicates would grow state forever). On
+    a static frame it degrades to plain dropDuplicates, so batch backfill
+    and the streaming job share one code path.
+    """
+    keys = list(keys)
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -89,3 +89,39 @@ def test_sessionize_stateful(spark, tmp_path):
     assert (1, 3) in closed                 # first session closed by the in-batch gap
     assert (1, 2) in open_                  # second session still open
     assert (2, 1) in open_                  # user 2's single-event session open
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    from smartlogic_concordance_transformer_spark.streaming_analytics import dedup_stream
+
+    base = datetime(2026, 1, 1, 8, 0, 0)
+    mk = lambda eid, sec: {
+        "event_id": eid, "ts": (base + timedelta(seconds=sec)).isoformat(sep=" "),
+        "user_id": 1, "event_type": "e", "value": 0.0, "props": "{}",
+    }
+    # event 1 duplicated twice within the watermark horizon; 2 and 3 unique
+    rows = [mk(1, 0), mk(1, 10), mk(2, 20), mk(1, 30), mk(3, 40)]
+    ind = tmp_path / "in"
+    ind.mkdir()
+    with open(ind / "b0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = spark.readStream.schema(schema).json(str(ind))
+    q = (
+        dedup_stream(stream, keys=["event_id"], watermark="5 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.sql("select * from dedup_s").collect())
+    assert got == [1, 2, 3]
+    # static frame shares the code path via plain dropDuplicates
+    static = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 3.0)], "event_id long, value double"
+    ).withColumn("ts", F.current_timestamp())
+    assert dedup_stream(static, keys=["event_id"]).count() == 2
