@@ -683,6 +683,37 @@ def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT percentiles (sort-based, linear interpolation) — verified
+    # bit-identical to DuckDB quantile_cont. approx_percentile would be
+    # the 100 TB choice but its sketch isn't cross-engine comparable;
+    # exact is the correctness anchor the approximate path is judged by.
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+def q_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-row standardization within each event_type; mean/std derived
+    # from exact decimal window sums so both engines emit identical doubles
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("event_type")
+    v = F.col("value").cast("decimal(18,6)")
+    s = F.sum(v).over(w).cast("double")
+    ss = F.sum(v * v).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    mean = s / n
+    std = F.sqrt((ss - s * s / n) / (n - F.lit(1.0)))
+    return ev.select(
+        "event_id", F.round((F.col("value") - mean) / std, 6).alias("z")
+    )
+
+
 def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return ev.groupBy("event_type").agg(
@@ -737,6 +768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "rollup_pricing": q_rollup_pricing,
         "events_pivot": q_events_pivot,
+        "events_quantiles": q_events_quantiles,
+        "events_zscore": q_events_zscore,
         "cube_pricing": q_cube_pricing,
         "events_by_type": q_events_by_type,
     }
@@ -1118,6 +1151,25 @@ def oracle_sql() -> dict[str, str]:
                  case when substr(md5('split:' || cast(doc_id as varchar)), 1, 2) < '1a'
                       then 'test' else 'train' end as split
           from documents
+        """,
+        "events_quantiles": """
+          select event_type,
+                 quantile_cont(value, 0.5) as p50,
+                 quantile_cont(value, 0.9) as p90,
+                 quantile_cont(value, 0.99) as p99
+          from events group by event_type
+        """,
+        "events_zscore": """
+          with t as (
+            select event_id, value,
+                   cast(sum(cast(value as decimal(18,6))) over w as double) as s,
+                   cast(sum(cast(value as decimal(18,6)) * cast(value as decimal(18,6))) over w as double) as ss,
+                   cast(count(*) over w as double) as n
+            from events
+            window w as (partition by event_type))
+          select event_id,
+                 round((value - s / n) / sqrt((ss - s * s / n) / (n - 1.0)), 6) as z
+          from t
         """,
         "events_pivot": """
           select user_id % 100 as ubucket,
