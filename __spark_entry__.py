@@ -65,6 +65,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a small scan to the session parallelism BEFORE a
+    fan-out (explode, pandas UDF, payload generation): the test parquet
+    files read as 1-2 splits, which would leave 30 of 32 cores idle
+    through the expensive downstream stage. At real scale the scan itself
+    provides the splits and this is a no-op-sized shuffle."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -90,8 +99,9 @@ _WD_DUCK = "'http://www.wikidata.org/entity/Q' || cast(doc_id as varchar)"
 
 def _kg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> source_repos rows with valid editorial payloads
-    (1 TME id + 1 wikidata id per doc)."""
-    return _docs(spark, sf_dir).selectExpr(
+    (1 TME id + 1 wikidata id per doc). Repartitioned before the
+    generation+parse chain: the small parquet arrives as 1-2 splits."""
+    return _spread(spark, _docs(spark, sf_dir)).selectExpr(
         "doc_id",
         "concat('synthetic/', source) as repo",
         "concat('concepts/', doc_id, '.json') as path",
@@ -107,7 +117,7 @@ def _kg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kg_bad_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> five invalid payload shapes keyed on doc_id % 5."""
-    return _docs(spark, sf_dir).selectExpr(
+    return _spread(spark, _docs(spark, sf_dir)).selectExpr(
         "doc_id",
         f"""case pmod(doc_id, 5)
           when 0 then concat('{{"@graph":[{{"@id":"http://www.ft.com/thing/', {_CUUID_SPARK}, '"}}]}}')
@@ -259,7 +269,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.explode(
         F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
     ).alias("w")
-    exploded = _docs(spark, sf_dir).select("doc_id", words)
+    exploded = _spread(spark, _docs(spark, sf_dir)).select("doc_id", words)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("w")))).alias(f"m{j}")
         for j in range(_MINHASH_SEEDS)
@@ -272,7 +282,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).select(
+    d = _spread(spark, _docs(spark, sf_dir)).select(
         "doc_id",
         F.array_distinct(
             F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
@@ -296,7 +306,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hamming <= 3. FNV-1a inside the pandas UDF is not DuckDB-expressible
     # -> rows-only check; the kernel is pinned by pytest goldens.
     _ensure_shipped(spark)
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _spread(spark, _docs(spark, sf_dir)).select("doc_id", "text")
     pert = d.filter(F.pmod("doc_id", 10) == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qzx")).alias("text"),
@@ -326,7 +336,10 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat("text", F.lit(" zq")).alias("text"),
     )
-    corpus = d.unionByName(twins)
+    # the small parquet reads as 1-2 partitions, but shingling fans out
+    # ~80x per doc — spread BEFORE the expansion so every core works
+    # (the general rule: parallelize ahead of a generator, not after it)
+    corpus = d.unionByName(twins).repartition(spark.sparkContext.defaultParallelism)
     sigs = minhash_signatures(corpus, num_hashes=64, k=3)
     cand = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
     pairs = ngram_jaccard_pairs(corpus, cand, k=3, threshold=0.8)

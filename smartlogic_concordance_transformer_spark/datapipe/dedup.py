@@ -71,9 +71,15 @@ def minhash_signatures(
     """(key, signature array<bigint>) — min over xxhash64(shingle, seed)
     per seed. One explode + one groupBy; min is partially aggregatable so
     the combine happens map-side."""
-    sh = df.select(key_col, F.explode(shingles(text_col, k, word_grams)).alias("_sh"))
+    # hash the (variable-length) shingle string ONCE, then derive the
+    # num_hashes independent functions by re-hashing the fixed 8-byte long
+    # with per-function seeds — 1 string hash + N long hashes per shingle
+    # instead of N string hashes (the string hash dominates at ~15-40 B)
+    sh = df.select(
+        key_col, F.explode(shingles(text_col, k, word_grams)).alias("_sh")
+    ).select(key_col, F.xxhash64(F.col("_sh")).alias("_h"))
     mins = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(seed))).alias(f"_h{seed}")
+        F.min(F.xxhash64(F.col("_h"), F.lit(seed))).alias(f"_h{seed}")
         for seed in range(num_hashes)
     ]
     agg = sh.groupBy(key_col).agg(*mins)
