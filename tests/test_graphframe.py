@@ -180,3 +180,55 @@ def test_filter_vertices_and_edges(g):
     assert {(r.src, r.dst) for r in fe.edges.collect()} == {("c", "a"), ("c", "d")}
     iso = fe.dropIsolatedVertices()
     assert {r.id for r in iso.vertices.collect()} == {"a", "c", "d"}
+
+
+def test_pregel_pagerank_matches_native(g, spark):
+    from pyspark.sql import functions as F
+
+    from smartlogic_concordance_transformer_spark.graph import Pregel
+
+    # pageRank written against the Pregel builder must equal the dedicated
+    # pageRank loop exactly (same arithmetic, same iteration count)
+    alpha = 0.15
+    with_deg = GraphFrame(
+        g.vertices.join(g.outDegrees, "id", "left").fillna({"outDegree": 0}),
+        g.edges,
+    )
+    ranks = (
+        with_deg.pregel.setMaxIter(3)
+        .withVertexColumn(
+            "rank",
+            F.lit(1.0),
+            F.lit(alpha) + F.lit(1 - alpha) * F.coalesce(Pregel.msg(), F.lit(0.0)),
+        )
+        # try_divide: under ANSI (Spark 4 default) Catalyst may evaluate
+        # the src-only projection below the triplet join, where
+        # outDegree=0 vertices still exist
+        .sendMsgToDst(F.try_divide(Pregel.src("rank"), Pregel.src("outDegree")))
+        .aggMsgs(F.sum(Pregel.msg()))
+        .run()
+    )
+    got = {r.id: r.rank for r in ranks.collect()}
+    want = {r.id: r.pagerank for r in g.pageRank(maxIter=3).vertices.collect()}
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-12 for k in want), (got, want)
+
+
+def test_pregel_propagates_min_id(g):
+    from pyspark.sql import functions as F
+
+    from smartlogic_concordance_transformer_spark.graph import Pregel
+
+    # min-id flood along reversed edges: a tiny CC-flavored program
+    out = (
+        g.pregel.setMaxIter(4)
+        .withVertexColumn(
+            "m", F.col("id"), F.least(F.col("m"), F.coalesce(Pregel.msg(), F.col("m")))
+        )
+        .sendMsgToDst(Pregel.src("m"))
+        .sendMsgToSrc(Pregel.dst("m"))
+        .aggMsgs(F.min(Pregel.msg()))
+        .run()
+    )
+    got = {r.id: r.m for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x", "z": "z"}
