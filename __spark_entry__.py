@@ -339,7 +339,7 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the small parquet reads as 1-2 partitions, but shingling fans out
     # ~80x per doc — spread BEFORE the expansion so every core works
     # (the general rule: parallelize ahead of a generator, not after it)
-    corpus = d.unionByName(twins).repartition(spark.sparkContext.defaultParallelism)
+    corpus = _spread(spark, d.unionByName(twins))
     sigs = minhash_signatures(corpus, num_hashes=64, k=3)
     cand = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
     pairs = ngram_jaccard_pairs(corpus, cand, k=3, threshold=0.8)

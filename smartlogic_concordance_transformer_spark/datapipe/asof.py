@@ -34,24 +34,34 @@ def asof_join(
     by = list(by or [])
     if value_cols is None:
         value_cols = [c for c in right.columns if c != on and c not in by]
-    carried = [f"{prefix}{on}"] + [f"{prefix}{c}" for c in value_cols]
 
+    # ALL right-row values ride in ONE struct: last-non-null over the
+    # struct picks the whole matched row atomically. Filling each column
+    # independently would tear rows — a null value in the matched right
+    # row would be silently replaced by a stale value from an older row
+    # (and different columns could even come from different rows).
+    r_struct = F.struct(F.col(on).alias(on), *[F.col(c).alias(c) for c in value_cols])
     l_tag = left.select(
         *left.columns,
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[on].dataType).alias(f"{prefix}{on}"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}" for c in [on, *value_cols]
+            )
+            + ">"
+        ).alias("_r"),
     )
     r_tag = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by and c != on],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in by and c != on
+        ],
         *by,
         F.col(on),
         F.lit(0).alias("_side"),
-        F.col(on).alias(f"{prefix}{on}"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        r_struct.alias("_r"),
     ).select(*l_tag.columns)
 
     # right rows sort before left rows at equal timestamps so an
@@ -62,8 +72,16 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tag.unionByName(r_tag).select(
-        *[c for c in l_tag.columns if c not in carried and c != "_side"],
+        *[c for c in l_tag.columns if c not in ("_side", "_r")],
         F.col("_side"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    m = F.col("_r")
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *[c for c in left.columns],
+            m[on].alias(f"{prefix}{on}"),
+            *[m[c].alias(f"{prefix}{c}") for c in value_cols],
+        )
+    )

@@ -36,8 +36,14 @@ def train_test_split(
     and different engines agree row-for-row."""
     if not 0 <= test_buckets <= 256:
         raise ValueError("test_buckets must be in [0, 256]")
-    threshold = format(test_buckets, "02x")
     b = split_bucket(key_col, salt)
+    if test_buckets == 256:
+        # format(256, '02x') is the 3-char '100', which 2-char hex buckets
+        # compare against lexicographically (only '00'..'10' sort below
+        # it) — everything is test, so say exactly that
+        is_test = F.lit(True)
+    else:
+        is_test = b < format(test_buckets, "02x")
     return df.withColumn(
-        "split", F.when(b < threshold, F.lit("test")).otherwise(F.lit("train"))
+        "split", F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
     )

@@ -103,6 +103,7 @@ class Pregel:
         return self
 
     def setCheckpointInterval(self, n: int) -> "Pregel":
+        # GraphFrames convention: <= 0 disables per-superstep checkpointing
         self._checkpoint_interval = int(n)
         return self
 
@@ -131,18 +132,7 @@ class Pregel:
         state = v.select("*", *[init.alias(name) for name, init, _ in self._cols])
         e = self._g._e.localCheckpoint(eager=False)
         for i in range(self._max_iter):
-            vs = state.select(F.struct(*state.columns).alias("src_v"))
-            vd = state.select(F.struct(*state.columns).alias("dst_v"))
-            trip = (
-                e.select(F.struct(*e.columns).alias("edge"))
-                .join(vs, F.col("edge.src") == F.col("src_v.id"))
-                .join(vd, F.col("edge.dst") == F.col("dst_v.id"))
-                .select(
-                    F.col("src_v").alias("src"),
-                    "edge",
-                    F.col("dst_v").alias("dst"),
-                )
-            )
+            trip = _triplets_of(state, e)
             parts = []
             for expr in self._send_dst:
                 parts.append(
@@ -164,9 +154,23 @@ class Pregel:
                 *[c for c in state.columns if c not in {n for n, _, _ in self._cols}],
                 *[update.alias(name) for name, _, update in self._cols],
             )
-            if (i + 1) % self._checkpoint_interval == 0:
+            if self._checkpoint_interval > 0 and (i + 1) % self._checkpoint_interval == 0:
                 state = state.localCheckpoint()
         return state
+
+
+def _triplets_of(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """(src struct, edge struct, dst struct) for an arbitrary vertex
+    frame — two hash joins; broadcast kicks in when the vertex side is
+    small. Shared by GraphFrame.triplets and each Pregel superstep."""
+    vs = vertices.select(F.struct(*vertices.columns).alias("src_v"))
+    vd = vertices.select(F.struct(*vertices.columns).alias("dst_v"))
+    e = edges.select(F.struct(*edges.columns).alias("edge"))
+    return (
+        e.join(vs, F.col("edge.src") == F.col("src_v.id"))
+        .join(vd, F.col("edge.dst") == F.col("dst_v.id"))
+        .select(F.col("src_v").alias("src"), "edge", F.col("dst_v").alias("dst"))
+    )
 
 
 class GraphFrame:
@@ -212,14 +216,7 @@ class GraphFrame:
     def triplets(self) -> DataFrame:
         """(src struct, edge struct, dst struct) — two hash joins; broadcast
         kicks in automatically when the vertex side is small."""
-        vs = self._v.select(F.struct(*self._v.columns).alias("src_v"))
-        vd = self._v.select(F.struct(*self._v.columns).alias("dst_v"))
-        e = self._e.select(F.struct(*self._e.columns).alias("edge"))
-        return (
-            e.join(vs, e["edge.src"] == vs["src_v.id"])
-            .join(vd, e["edge.dst"] == vd["dst_v.id"])
-            .select(F.col("src_v").alias("src"), "edge", F.col("dst_v").alias("dst"))
-        )
+        return _triplets_of(self._v, self._e)
 
     def connectedComponents(self, maxIter: int = 40, salt: int = 0) -> DataFrame:
         """Vertices + ``component`` (= min reachable vertex id). Routes to
@@ -456,6 +453,12 @@ class GraphFrame:
         edge_names = [e for _, e, _ in parsed if e]
         if len(edge_names) != len(set(edge_names)):
             raise ValueError("edge names must be distinct within a pattern")
+        vertex_names = {n for sv, _, dv in parsed for n in (sv, dv) if n}
+        clash = vertex_names & set(edge_names)
+        if clash:
+            raise ValueError(
+                f"names used for both a vertex and an edge: {sorted(clash)}"
+            )
 
         order: list[str] = []  # named elements in first-appearance order
         kinds: dict[str, str] = {}

@@ -49,6 +49,15 @@ class CheckpointLedger:
                 with open(meta_path, "w") as f:
                     json.dump({"n_buckets": n_buckets}, f)
 
+    def meta_n_buckets(self) -> int | None:
+        """n_buckets the ledger was created with (None for pre-meta
+        ledgers) — the authoritative bucket count for completeness checks."""
+        meta_path = os.path.join(self.dir, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                return json.load(f).get("n_buckets")
+        return None
+
     def done_buckets(self) -> set[int]:
         done = set()
         for name in os.listdir(self.dir):

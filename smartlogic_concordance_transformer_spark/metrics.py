@@ -90,7 +90,11 @@ def gtg_check(
     ledger = CheckpointLedger(root)
     done = ledger.done_buckets()
     if n_buckets is None:
-        n_buckets = (max(done) + 1) if done else 0
+        # the ledger meta is authoritative — inferring from max(done)+1
+        # would hide TRAILING buckets that never got a ledger entry
+        n_buckets = ledger.meta_n_buckets()
+        if n_buckets is None:
+            n_buckets = (max(done) + 1) if done else 0
     missing_ledger = sorted(set(range(n_buckets)) - done)
 
     actual = {

@@ -245,3 +245,34 @@ def test_asof_join_backward_semantics(spark):
     assert out[("u1", 20)] == (18, 3.0)   # most recent prior
     assert out[("u1", 5)] == (None, None) # nothing at-or-before
     assert out[("u2", 15)] == (None, None)  # keyed: u3's rows invisible
+
+
+def test_asof_join_null_value_in_matched_row_is_kept(spark):
+    # the matched right row's null must NOT be replaced by a stale value
+    # from an older right row (atomic row semantics, like merge_asof)
+    from smartlogic_concordance_transformer_spark.datapipe.asof import asof_join
+
+    l = spark.createDataFrame([("u1", 10)], "user string, ts long")
+    r = spark.createDataFrame(
+        [("u1", 5, 1.0, "x"), ("u1", 8, None, "y")],
+        "user string, ts long, v double, w string",
+    )
+    row = asof_join(l, r, on="ts", by=["user"]).first()
+    assert row.asof_ts == 8
+    assert row.asof_v is None       # null from the matched row survives
+    assert row.asof_w == "y"        # all values come from the SAME row
+
+
+def test_train_test_split_boundaries(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.sampling import (
+        train_test_split,
+    )
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    all_test = train_test_split(df, test_buckets=256)
+    assert all_test.filter("split = 'train'").count() == 0
+    none_test = train_test_split(df, test_buckets=0)
+    assert none_test.filter("split = 'test'").count() == 0
+    some = train_test_split(df, test_buckets=26)
+    frac = some.filter("split = 'test'").count() / 500
+    assert 0.03 < frac < 0.25  # ~26/256 with hash noise at n=500

@@ -232,3 +232,28 @@ def test_pregel_propagates_min_id(g):
     )
     got = {r.id: r.m for r in out.collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_motif_vertex_edge_name_clash_rejected(g):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="both a vertex and an edge"):
+        g.find("(a)-[]->(b); (c)-[a]->(d)")
+
+
+def test_pregel_checkpoint_interval_zero_disables(g):
+    from pyspark.sql import functions as F
+
+    from smartlogic_concordance_transformer_spark.graph import Pregel
+
+    out = (
+        g.pregel.setMaxIter(2)
+        .setCheckpointInterval(0)
+        .withVertexColumn(
+            "m", F.col("id"), F.least(F.col("m"), F.coalesce(Pregel.msg(), F.col("m")))
+        )
+        .sendMsgToDst(Pregel.src("m"))
+        .aggMsgs(F.min(Pregel.msg()))
+        .run()
+    )
+    assert out.count() == 7

@@ -134,3 +134,17 @@ def test_resume_noop_when_all_done(spark, tmp_path):
     m = run_pipeline(spark, src, out, n_buckets=4, run_cc=False)
     assert _triples_set(spark, out) == before
     assert m["touched_buckets"] == []
+
+
+def test_gtg_infers_n_buckets_from_ledger_meta(spark, tmp_path):
+    # trailing buckets with no ledger entry must be visible even when the
+    # caller omits n_buckets: the ledger meta is authoritative
+    from smartlogic_concordance_transformer_spark.metrics import gtg_check
+
+    out = str(tmp_path / "kg5")
+    run_pipeline(spark, generate_source_repos(spark, 300, seed=21), out, n_buckets=6, run_cc=False)
+    # drop the LAST bucket's ledger entry — max(done)+1 inference would hide it
+    os.remove(os.path.join(out, "_ledger", "bucket=5.json"))
+    m = gtg_check(spark, out)  # no n_buckets passed
+    assert not m["gtg"]["ledger_complete"]
+    assert m["gtg"]["missing_ledger"] == [5]
