@@ -276,3 +276,41 @@ def test_train_test_split_boundaries(spark):
     some = train_test_split(df, test_buckets=26)
     frac = some.filter("split = 'test'").count() / 500
     assert 0.03 < frac < 0.25  # ~26/256 with hash noise at n=500
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    # independent model: pandas merge_asof (backward, allow_exact_matches)
+    # over randomized keyed timelines, including null values in the right
+    import pandas as pd
+
+    from smartlogic_concordance_transformer_spark.datapipe.asof import asof_join
+
+    rng = np.random.default_rng(11)
+    for case in range(4):
+        n_l, n_r = 40, 30
+        lpd = pd.DataFrame({
+            "user": rng.integers(0, 4, n_l).astype(str),
+            "ts": rng.integers(0, 100, n_l).astype("int64"),
+        }).drop_duplicates(["user", "ts"])
+        rpd = pd.DataFrame({
+            "user": rng.integers(0, 4, n_r).astype(str),
+            "ts": rng.integers(0, 100, n_r).astype("int64"),
+            "v": rng.normal(size=n_r),
+        }).drop_duplicates(["user", "ts"])
+        rpd.loc[rpd.index % 5 == 0, "v"] = None  # nulls in the right values
+        want = pd.merge_asof(
+            lpd.sort_values("ts"), rpd.sort_values("ts"),
+            on="ts", by="user", direction="backward", suffixes=("", "_r"),
+        )
+        l = spark.createDataFrame(lpd)
+        r = spark.createDataFrame(rpd)
+        got = {
+            (x.user, x.ts): x.asof_v
+            for x in asof_join(l, r, on="ts", by=["user"]).collect()
+        }
+        for _, row in want.iterrows():
+            g = got[(row.user, row.ts)]
+            if pd.isna(row.v):
+                assert g is None, (case, row.user, row.ts, g)
+            else:
+                assert g is not None and abs(g - row.v) < 1e-12, (case, row.user, row.ts)
