@@ -2,9 +2,10 @@
 
 * brute_force_topk — exact cosine top-k. The query set is broadcast (it is
   small by construction); the corpus is scanned once; per-row dot products
-  run as native ``aggregate``/``zip_with`` expressions inside codegen; the
-  top-k is a per-query window. Scan cost O(n·q·d), shuffle cost O(n_q · k)
-  only. This is the correctness baseline.
+  run as JVM-side ``aggregate``/``zip_with`` expressions (interpreted
+  CodegenFallback — acceptable here because this is the documented exact
+  oracle baseline, not the scale path); the top-k is a per-query window.
+  Scan cost O(n·q·d), shuffle cost O(n_q · k) only.
 
 * lsh_ann_topk — random-hyperplane LSH: sign-bit signatures bucket the
   corpus; only same-bucket (or multi-probe neighboring) candidates get the
@@ -234,7 +235,12 @@ def ivf_search(
 ) -> DataFrame:
     """IVF top-k: probe the ``nprobe`` nearest cells per query, exact
     cosine rerank inside them. Recall is tunable via nprobe; cost is
-    nprobe/k of the full scan."""
+    nprobe/k of the full scan. The rerank scores with the numpy batch
+    cosine (``cosine_udf``) — this is the designated huge-corpus ANN
+    path, and the expression-form ``aggregate``/``zip_with`` dot product
+    is an interpreted CodegenFallback measured ~10x slower on the same
+    corpus (see ``lsh_signature``'s note); only ``brute_force_topk``
+    keeps the expression form, as the documented exact oracle baseline."""
     c = ivf_assign(corpus, centroids, vec_col)
     qdists = F.array(*[_centroid_dist2(F.col(vec_col), cen) for cen in centroids])
     probe_cells = F.slice(
@@ -252,14 +258,14 @@ def ivf_search(
     )
     q = queries.select(
         query_key_col,
-        F.col(vec_col).alias("_qv"),
-        _norm(F.col(vec_col)).alias("_qn"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
         F.explode(probe_cells).alias("_cell"),
     )
+    cos = cosine_udf()
     scored = c.join(F.broadcast(q), "_cell").select(
         query_key_col,
         key_col,
-        (_dot(F.col("_qv"), F.col(vec_col)) / (F.col("_qn") * _norm(F.col(vec_col)))).alias("score"),
+        cos(F.col("_qv"), F.col(vec_col).cast("array<double>")).alias("score"),
     )
     w = Window.partitionBy(query_key_col).orderBy(F.desc("score"), F.col(key_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -285,12 +291,13 @@ def lsh_ann_topk(
     planes = _random_planes(dim, n_planes, seed)
     c = corpus.withColumn("_bucket", lsh_signature(F.col(vec_col), planes))
     q = queries.withColumn("_bucket", lsh_signature(F.col(vec_col), planes)).select(
-        query_key_col, "_bucket", F.col(vec_col).alias("_qv"), _norm(F.col(vec_col)).alias("_qn")
+        query_key_col, "_bucket", F.col(vec_col).cast("array<double>").alias("_qv")
     )
+    cos = cosine_udf()
     scored = c.join(F.broadcast(q), "_bucket").select(
         query_key_col,
         key_col,
-        (_dot(F.col("_qv"), F.col(vec_col)) / (F.col("_qn") * _norm(F.col(vec_col)))).alias("score"),
+        cos(F.col("_qv"), F.col(vec_col).cast("array<double>")).alias("score"),
     )
     w = Window.partitionBy(query_key_col).orderBy(F.desc("score"), F.col(key_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
