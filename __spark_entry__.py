@@ -282,22 +282,25 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _spread(spark, _docs(spark, sf_dir)).select(
-        "doc_id",
-        F.array_distinct(
-            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
-        ).alias("w"),
+    # exact shingle-Jaccard verification over the REAL LSH candidate set
+    # (round 2 scored adjacent-id pairs — a toy shape): MinHash(64) ->
+    # banded LSH(16x4) candidates -> exact 3-word-shingle Jaccard, keep
+    # pairs >= 0.5. Distinct from dedup_lsh_verified: raw corpus (no
+    # planted twins) and a threshold in the middle of the corpus's empty
+    # jaccard band (~0.4-0.9), so every qualifying pair sits at j >= 0.9
+    # where the 16x4 banding's per-pair miss probability is ~4e-8 — the
+    # bucketed candidate set reproduces the all-pairs oracle's rows.
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
     )
-    a = d.select(F.col("doc_id").alias("a"), F.col("w").alias("wa"))
-    b = d.select((F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b"), F.col("w").alias("wb"))
-    j = a.join(b, "a")
-    return j.select(
-        "a",
-        "b",
-        F.round(
-            F.size(F.array_intersect("wa", "wb")) / F.size(F.array_union("wa", "wb")), 6
-        ).alias("jaccard"),
-    )
+
+    d = _spread(spark, _docs(spark, sf_dir)).select("doc_id", "text")
+    sigs = minhash_signatures(d, num_hashes=64, k=3)
+    cand = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    pairs = ngram_jaccard_pairs(d, cand, k=3, threshold=0.5)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -981,12 +984,23 @@ def oracle_sql() -> dict[str, str]:
           m as (select doc_id, {minhash_mins} from w group by doc_id)
           select doc_id, {minhash_sig} as signature from m
         """,
-        "dedup_jaccard": f"""
-          with d as (select doc_id, list_distinct({_NORM_WORDS_D}) as w from documents)
-          select a.doc_id as a, b.doc_id as b,
-                 round(len(list_intersect(a.w, b.w)) * 1.0
-                       / len(list_distinct(list_concat(a.w, b.w))), 6) as jaccard
-          from d a join d b on b.doc_id = a.doc_id + 1
+        "dedup_jaccard": """
+          with base as (
+            select doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as toks
+            from documents),
+          sets as (
+            select doc_id,
+                   list_distinct(list_transform(
+                     range(greatest(len(toks) - 2, 1)),
+                     i -> array_to_string(toks[i+1:i+3], ' '))) as s
+            from base),
+          j as (
+            select a.doc_id as a, b.doc_id as b,
+                   len(list_intersect(a.s, b.s)) * 1.0
+                     / len(list_distinct(list_concat(a.s, b.s))) as jaccard
+            from sets a join sets b on a.doc_id < b.doc_id)
+          select a, b, round(jaccard, 6) as jaccard from j where jaccard >= 0.5
         """,
         "dedup_lsh_verified": """
           with base as (

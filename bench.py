@@ -103,6 +103,7 @@ def kg_scale_run(spark, n_docs: int, reps: int = 3) -> dict:
 
 
 def main() -> dict:
+    load0 = os.getloadavg()  # ambient load BEFORE the bench adds its own
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if not os.path.isdir(sf_dir):
@@ -154,6 +155,12 @@ def main() -> dict:
         "sf": sf,
         "cpus": cpus,
         "kg": kg,
+        # box-phase evidence: this box has noisy phases with up to 3x
+        # spread on identical plans (BENCH/BASELINE.md). "load" is the
+        # ambient load average sampled BEFORE the bench started (the bench
+        # itself saturates the box, so an exit sample would be useless);
+        # it lets a reader separate box phase from regression.
+        "load": dict(zip(("1m", "5m", "15m"), (round(x, 2) for x in load0))),
     }
     spark.stop()
     return result

@@ -26,14 +26,37 @@ def asof_join(
     by: list[str] | None = None,
     value_cols: list[str] | None = None,
     prefix: str = "asof_",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Left rows + ``{prefix}{col}`` for each right value column (and
     ``{prefix}{on}``, the matched right timestamp); nulls when no right
     row precedes. ``by`` defaults to no keying (one global timeline).
+
+    Tie-break among multiple right rows sharing the same ``(by, on)``:
+    the row with the greatest ``seq_col`` wins. When ``seq_col`` is None
+    a ``monotonically_increasing_id`` over the right frame is used, which
+    reproduces pandas ``merge_asof``'s keep-last-in-input-order rule as
+    long as the right frame's partitioning is deterministic (a plain
+    table scan is); pass an explicit ``seq_col`` for an order guarantee
+    that survives arbitrary upstream shuffles.
     """
     by = list(by or [])
     if value_cols is None:
-        value_cols = [c for c in right.columns if c != on and c not in by]
+        value_cols = [c for c in right.columns if c != on and c not in by and c != seq_col]
+
+    reserved = {"_side", "_r", "_seq"}
+    for df_name, cols in (("left", left.columns), ("right", right.columns)):
+        bad = reserved.intersection(cols)
+        if bad:
+            raise ValueError(
+                f"asof_join: {df_name} frame uses reserved internal column(s) {sorted(bad)}"
+            )
+    collide = {f"{prefix}{c}" for c in [on, *value_cols]}.intersection(left.columns)
+    if collide:
+        raise ValueError(
+            f"asof_join: output column(s) {sorted(collide)} collide with left frame "
+            f"columns; pass a different prefix"
+        )
 
     # ALL right-row values ride in ONE struct: last-non-null over the
     # struct picks the whole matched row atomically. Filling each column
@@ -41,9 +64,11 @@ def asof_join(
     # row would be silently replaced by a stale value from an older row
     # (and different columns could even come from different rows).
     r_struct = F.struct(F.col(on).alias(on), *[F.col(c).alias(c) for c in value_cols])
+    seq = F.col(seq_col).cast("long") if seq_col else F.monotonically_increasing_id()
     l_tag = left.select(
         *left.columns,
         F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_seq"),
         F.lit(None).cast(
             "struct<"
             + ",".join(
@@ -61,14 +86,17 @@ def asof_join(
         *by,
         F.col(on),
         F.lit(0).alias("_side"),
+        seq.alias("_seq"),
         r_struct.alias("_r"),
     ).select(*l_tag.columns)
 
     # right rows sort before left rows at equal timestamps so an
-    # exact-timestamp right row is visible to the left row (<= semantics)
+    # exact-timestamp right row is visible to the left row (<= semantics);
+    # _seq makes the pick among same-(by, on) right duplicates
+    # deterministic (greatest seq = last in right input order)
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(F.col(on).asc(), F.col("_side").asc(), F.col("_seq").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tag.unionByName(r_tag).select(

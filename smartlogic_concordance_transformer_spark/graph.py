@@ -383,17 +383,23 @@ class GraphFrame:
 
         Each hop is one hash join frontier-expansion; the early-exit count
         per hop is the only driver-side action, so the plan is
-        hop-bounded, never all-pairs.
+        hop-bounded, never all-pairs. The two length-0 questions (any
+        source at all? any source already a target?) fold into ONE
+        up-front aggregate action instead of two isEmpty probes.
         """
         v_struct = F.struct(*self._v.columns)
         frm = self._v.filter(fromExpr)
-        if frm.isEmpty():
+        to_cond = F.expr(toExpr) if isinstance(toExpr, str) else toExpr
+        counts = frm.agg(
+            F.count(F.lit(1)).alias("n_from"),
+            F.count(F.when(to_cond, 1)).alias("n_hit0"),
+        ).first()
+        if counts["n_from"] == 0:
             return frm.select(v_struct.alias("from"), v_struct.alias("to")).limit(0)
 
         # length 0: a source vertex that already satisfies toExpr
-        hit0 = frm.filter(toExpr)
-        if not hit0.isEmpty():
-            return hit0.select(v_struct.alias("from"), v_struct.alias("to"))
+        if counts["n_hit0"] > 0:
+            return frm.filter(to_cond).select(v_struct.alias("from"), v_struct.alias("to"))
 
         e_struct = F.struct(*self._e.columns)
         edges = self._e.select(

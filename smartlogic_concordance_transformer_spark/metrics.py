@@ -49,15 +49,28 @@ def partition_metrics(
 _QUAR_STATUSES = ("SyntacticallyIncorrect", "SemanticallyIncorrect")
 
 
-def _read_bucket_counts(spark: SparkSession, path: str) -> dict[int, int]:
+def _read_bucket_counts(
+    spark: SparkSession, path: str
+) -> tuple[dict[int, int], str | None]:
+    """(per-bucket counts, error). A missing/empty table path (the normal
+    nothing-written-yet case, surfaced by Spark as AnalysisException on
+    schema inference) reads as empty counts; any OTHER failure — corrupt
+    footer, permission error, bad schema — is returned as an error string
+    so the GTG check can flag the table as unreadable instead of silently
+    treating it as correctly-empty."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(path)
-    except Exception:
-        return {}
-    return {
-        int(r["bucket"]): int(r["n"])
-        for r in df.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-    }
+        counts = {
+            int(r["bucket"]): int(r["n"])
+            for r in df.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+    except AnalysisException:
+        return {}, None
+    except Exception as e:  # corrupt/unreadable is NOT the same as empty
+        return {}, f"{type(e).__name__}: {e}"
+    return counts, None
 
 
 def gtg_check(
@@ -97,10 +110,14 @@ def gtg_check(
             n_buckets = (max(done) + 1) if done else 0
     missing_ledger = sorted(set(range(n_buckets)) - done)
 
-    actual = {
-        table: _read_bucket_counts(spark, os.path.join(root, table))
-        for table in ("upp", "quarantine", "triples")
-    }
+    actual: dict[str, dict[int, int]] = {}
+    unreadable: set[str] = set()
+    for table in ("upp", "quarantine", "triples"):
+        counts, err = _read_bucket_counts(spark, os.path.join(root, table))
+        actual[table] = counts
+        if err is not None:
+            unreadable.add(table)
+            mismatches.append({"table": table, "check": "table_unreadable", "error": err})
     for b_str, metrics in sorted(per_bucket.items(), key=lambda kv: int(kv[0])):
         b = int(b_str)
         n_valid = metrics.get("docs_valid", 0)
@@ -114,6 +131,8 @@ def gtg_check(
         for table, expected in (
             ("upp", n_valid), ("quarantine", n_quar), ("triples", n_triples)
         ):
+            if table in unreadable:
+                continue  # already flagged whole-table; per-bucket 0s are noise
             got = actual[table].get(b, 0)
             if got != expected:
                 mismatches.append(

@@ -263,6 +263,46 @@ def test_asof_join_null_value_in_matched_row_is_kept(spark):
     assert row.asof_w == "y"        # all values come from the SAME row
 
 
+def test_asof_join_duplicate_right_rows_tie_break(spark):
+    # multiple right rows at the same (by, on): keep the LAST one in
+    # right input order — pandas merge_asof's rule — deterministically,
+    # both via the implicit input-order seq and an explicit seq_col
+    import pandas as pd
+    from smartlogic_concordance_transformer_spark.datapipe.asof import asof_join
+
+    l = spark.createDataFrame([("u1", 10)], "user string, ts long")
+    rows = [("u1", 8, 1.0, 0), ("u1", 8, 2.0, 1), ("u1", 8, 3.0, 2)]
+    r = spark.createDataFrame(rows, "user string, ts long, v double, seq long")
+
+    expected = pd.merge_asof(
+        pd.DataFrame({"user": ["u1"], "ts": [10]}),
+        pd.DataFrame([x[:3] for x in rows], columns=["user", "ts", "v"]),
+        on="ts",
+        by="user",
+    ).iloc[0]["v"]
+    assert expected == 3.0
+
+    got = asof_join(l, r.drop("seq"), on="ts", by=["user"]).first()
+    assert got.asof_v == expected
+    got_seq = asof_join(l, r, on="ts", by=["user"], seq_col="seq").first()
+    assert got_seq.asof_v == expected
+
+
+def test_asof_join_rejects_reserved_and_colliding_names(spark):
+    import pytest
+    from smartlogic_concordance_transformer_spark.datapipe.asof import asof_join
+
+    l = spark.createDataFrame([("u1", 10)], "user string, ts long")
+    r = spark.createDataFrame([("u1", 8, 1.0)], "user string, ts long, v double")
+
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(l.withColumn("_side", l.ts), r, on="ts", by=["user"])
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(l, r.withColumn("_r", r.ts), on="ts", by=["user"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(l.withColumn("asof_v", l.ts), r, on="ts", by=["user"])
+
+
 def test_train_test_split_boundaries(spark):
     from smartlogic_concordance_transformer_spark.datapipe.sampling import (
         train_test_split,

@@ -125,6 +125,26 @@ def test_gtg_report_and_injected_mismatch(spark, tmp_path):
     assert not m3["gtg"]["ledger_complete"]
     assert m3["gtg"]["missing_ledger"] == [2]
 
+    # injected fault 3: a CORRUPT (unreadable) table must be flagged as
+    # table_unreadable, not conflated with a correctly-empty one
+    for f in os.listdir(os.path.join(out, "quarantine")):
+        p = os.path.join(out, "quarantine", f)
+        if os.path.isdir(p):
+            for part in os.listdir(p):
+                if part.endswith(".parquet"):
+                    with open(os.path.join(p, part), "wb") as fh:
+                        fh.write(b"not a parquet file")
+    m4 = gtg_check(spark, out, n_buckets=4)
+    assert not m4["gtg"]["ok"]
+    assert any(
+        x["check"] == "table_unreadable" and x["table"] == "quarantine"
+        for x in m4["gtg"]["mismatches"]
+    )
+    # and the whole-table flag suppresses the per-bucket 0-count noise
+    assert not any(
+        x["check"] == "quarantine_durable" for x in m4["gtg"]["mismatches"]
+    )
+
 
 def test_resume_noop_when_all_done(spark, tmp_path):
     out = str(tmp_path / "kg2")
