@@ -34,7 +34,9 @@ BENCH_QUERIES = [
     "dedup_jaccard",
     "dedup_lsh_verified",
     "dedup_embed",
+    "dedup_simhash",
     "sim_topk",
+    "sim_ivf",
     "graph_motifs",
     "text_quality",
     "text_langid",
@@ -285,7 +287,15 @@ Per-query seconds at local[32], sf={full['sf']}:
 | query | sec |
 |---|---|
 """ + "\n".join(f"| {k} | {v} |" for k, v in full["queries"].items()) + "\n"
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # kernel micro-benchmarks are maintained by hand at the end of the
+    # file — carry them across regenerations
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "## Kernel micro-benchmarks"
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            md += "\n" + old[old.index(marker):]
+    with open(path, "w") as f:
         f.write(md)
     log(f"wrote BENCH/BASELINE.md, efficiency={eff:.3f}")
     print(json.dumps({"metric": "scaling_efficiency", "value": round(eff, 3), "unit": "ratio",

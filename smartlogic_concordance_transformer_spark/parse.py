@@ -17,13 +17,13 @@ namespaces plus envelope diagnostics.
 
 from __future__ import annotations
 
-import json
-
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+
+from .fastjson import loads as _loads
 
 # Editorial key namespace (model.go:34-39). NOTE: no dbpedia key.
 _ED = "http://www.ft.com/ontology/"
@@ -95,7 +95,7 @@ def _parse_one(content: str) -> dict:
         base["parse_error"] = "EOF"
         return base
     try:
-        doc = json.loads(content)
+        doc = _loads(content)
     except Exception as exc:  # malformed JSON -> decode error (service.go:79)
         base["parse_error"] = f"invalid json: {exc}"
         return base

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from .fastjson import loads as _loads
+
 _UUID_RE = re.compile(r"^[\da-f]{8}-[\da-f]{4}-[\da-f]{4}-[\da-f]{4}-[\da-f]{12}$")
 _THING = "http://www.ft.com/thing/"
 _ML = "http://www.ft.com/ontology/managedlocation/"
@@ -114,7 +116,7 @@ def convert_one(content: str) -> dict:
     if not content:
         return _fail(SYNTACTIC, "EOF")
     try:
-        doc = json.loads(content)
+        doc = _loads(content)
     except Exception as exc:
         return _fail(SYNTACTIC, f"invalid json: {exc}")
     if not isinstance(doc, dict):

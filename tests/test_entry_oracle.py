@@ -72,8 +72,10 @@ def test_every_query_has_oracle_or_reason():
     assert os_ <= qs
     # rows-only queries must be the genuinely non-SQL-expressible ones:
     # the double-MD5 kernel (DuckDB md5 is VARCHAR-only), IVF ANN
-    # (iterative kmeans training), FNV-1a simhash (64-bit overflow loop),
-    # and the sha256-of-BLOB fake media decoder (no BLOB byte access)
+    # (iterative kmeans training), xxhash64-based simhash (DuckDB has no
+    # xxhash64; its hash() is a different function, so fingerprints can't
+    # be reproduced), and the sha256-of-BLOB fake media decoder (DuckDB
+    # 1.0 sha256/md5 accept VARCHAR only — verified, no BLOB overload)
     assert qs - os_ == {
         "kg_uuid_factset",
         "sim_ivf",
