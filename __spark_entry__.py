@@ -306,8 +306,9 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup corpus: every 10th doc gets a one-token-perturbed twin at
     # doc_id+100000; 4x16-bit banded simhash recovers most twins at
-    # hamming <= 3. FNV-1a inside the pandas UDF is not DuckDB-expressible
-    # -> rows-only check; the kernel is pinned by pytest goldens.
+    # hamming <= 3. Token hashes are Spark-native xxhash64, which DuckDB
+    # has no equivalent of -> rows-only check; kernel semantics (twin
+    # equality, banding recall/precision) are pinned by pytest.
     _ensure_shipped(spark)
     d = _spread(spark, _docs(spark, sf_dir)).select("doc_id", "text")
     pert = d.filter(F.pmod("doc_id", 10) == 0).select(

@@ -159,9 +159,11 @@ def main() -> dict:
         "kg": kg,
         # box-phase evidence: this box has noisy phases with up to 3x
         # spread on identical plans (BENCH/BASELINE.md). "load" is the
-        # ambient load average sampled BEFORE the bench started (the bench
-        # itself saturates the box, so an exit sample would be useless);
-        # it lets a reader separate box phase from regression.
+        # load average sampled when THIS process started (an exit sample
+        # would only measure the bench itself). Caveat: in --scaling runs
+        # every pass after the first starts with the preceding pass's load
+        # still decaying, so only the first pass's sample is truly
+        # ambient — later samples honestly record that contamination.
         "load": dict(zip(("1m", "5m", "15m"), (round(x, 2) for x in load0))),
     }
     spark.stop()
@@ -287,10 +289,11 @@ Per-query seconds at local[32], sf={full['sf']}:
 | query | sec |
 |---|---|
 """ + "\n".join(f"| {k} | {v} |" for k, v in full["queries"].items()) + "\n"
-    # kernel micro-benchmarks are maintained by hand at the end of the
-    # file — carry them across regenerations
+    # hand-maintained narrative sections (round notes, kernel
+    # micro-benchmarks) live below an explicit marker — carry everything
+    # from the marker onward across regenerations
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    marker = "## Kernel micro-benchmarks"
+    marker = "<!-- HAND-MAINTAINED:"
     if os.path.exists(path):
         old = open(path).read()
         if marker in old:

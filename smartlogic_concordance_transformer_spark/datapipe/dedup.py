@@ -7,12 +7,12 @@ Scale shapes:
 * MinHash/LSH: signatures are computed in one explode + two partial-agg
   groupBys (never a cross join); candidate generation is a self-join on
   (band, band_hash) buckets, i.e. proportional to collisions, not O(n^2).
-* SimHash: 64-bit fingerprints computed entirely JVM-side — explode
-  tokens, hash each once with native ``xxhash64``, then 64 per-bit
-  ``sum(getbit(...))`` aggregates (map-side combinable: the shuffle
-  carries 65 longs per doc, never the tokens) and an OR-fold sign vote;
-  near-dup candidates by banding the fingerprint into 4 16-bit chunks
-  (Hamming distance <= 3 guarantees one identical chunk).
+* SimHash: 64-bit fingerprints with ZERO shuffle — tokens are hashed
+  in-row JVM-side (``transform`` + ``xxhash64``), then one Arrow-batched
+  numpy bit-vote over the hash arrays (no per-token Python, no
+  per-document Python loop); near-dup candidates by banding the
+  fingerprint into 4 16-bit chunks (Hamming distance <= 3 guarantees one
+  identical chunk).
 * n-gram Jaccard: exact verification on candidate pairs only.
 """
 

@@ -62,13 +62,18 @@ def _read_bucket_counts(
 
     try:
         df = spark.read.parquet(path)
+    except AnalysisException:  # path missing / no footers = nothing written
+        return {}, None
+    except Exception as e:  # corrupt/unreadable is NOT the same as empty
+        return {}, f"{type(e).__name__}: {e}"
+    try:
+        # separate scope: an AnalysisException HERE is schema drift (e.g.
+        # no `bucket` column), which must read as unreadable, not empty
         counts = {
             int(r["bucket"]): int(r["n"])
             for r in df.groupBy("bucket").agg(F.count("*").alias("n")).collect()
         }
-    except AnalysisException:
-        return {}, None
-    except Exception as e:  # corrupt/unreadable is NOT the same as empty
+    except Exception as e:
         return {}, f"{type(e).__name__}: {e}"
     return counts, None
 

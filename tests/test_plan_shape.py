@@ -65,6 +65,18 @@ def test_scrub_pii_is_zero_shuffle_projection(spark):
     assert plan.lstrip().startswith("*(1)"), plan.splitlines()[0]
 
 
+def test_simhash_is_zero_shuffle(spark):
+    # the simhash kernel's design claim: tokens are hashed in-row
+    # (transform + xxhash64) and the bit-vote is one Arrow exchange —
+    # the token set never shuffles
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(simhash(docs))
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
 def test_dedup_embed_has_no_cartesian_product(spark):
     # the embedding near-dup contract path must generate candidates from
     # LSH buckets — an all-pairs cross join dies at 10^9 vectors
