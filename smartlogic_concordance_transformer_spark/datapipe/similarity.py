@@ -214,13 +214,35 @@ def _centroid_dist2(vec_col, centroid: list[float]):
 
 
 def ivf_assign(corpus: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
-    """+ ``_cell`` column: index of the nearest centroid. Native exprs —
-    at scale this is the column the corpus table is partitioned/clustered
-    by, making each probe a partition-pruned scan."""
-    dists = F.array(*[_centroid_dist2(F.col(vec_col), c) for c in centroids])
-    return corpus.withColumn(
-        "_cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    )
+    """+ ``_cell`` column: index of the nearest centroid (first index on
+    exact ties, like ``array_position`` of the min).
+
+    Assignment runs over the FULL corpus — at 10^9+ rows it is the
+    dominant IVF cost — so it is one numpy matmul per Arrow batch
+    (argmin of ||x||^2 - 2 x.C + ||c||^2; the ||x||^2 term is
+    argmin-invariant and dropped). The expression alternative (one
+    ``aggregate``/``zip_with`` HOF per centroid, k of them per row) is
+    interpreted CodegenFallback — the same ~10x-slow kernel pattern
+    measured for the pair-cosine verify. ``_cell`` is the column the
+    corpus table is partitioned/clustered by at scale, making each probe
+    a partition-pruned scan regardless of how the column was computed."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype="float64")  # k x d
+    CT = C.T  # d x k
+    c2 = (C * C).sum(axis=1)  # k
+
+    # no type hints: stringified annotations break closure pandas_udfs
+    @pandas_udf("int")
+    def _nearest(v):
+        if len(v) == 0:
+            return pd.Series(np.empty(0, dtype="int32"))
+        X = np.vstack(v.to_numpy())  # n x d
+        scores = c2[None, :] - 2.0 * (X @ CT)  # n x k (+||x||^2 omitted)
+        return pd.Series(scores.argmin(axis=1).astype("int32"))
+
+    return corpus.withColumn("_cell", _nearest(F.col(vec_col).cast("array<double>")))
 
 
 def ivf_search(
