@@ -466,6 +466,31 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition filter inputs: duplicate-word fraction
+    # (in-row) + most-frequent-bigram fraction (explode -> two map-side-
+    # combinable aggs). Counts are exact integers, divisions are
+    # int/int -> identical IEEE doubles across engines.
+    from smartlogic_concordance_transformer_spark.datapipe.text import repetition_stats
+
+    return repetition_stats(_spread(spark, _docs(spark, sf_dir)), n=2)
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination: every 50th doc plays the eval set; flag
+    # training docs sharing >= 10 distinct 3-gram shingles with it. The
+    # benchmark shingle dictionary broadcasts; the corpus never shuffles.
+    # Background collision level on this corpus is a handful of shingles
+    # per doc, so the threshold cleanly separates true leakage.
+    from smartlogic_concordance_transformer_spark.datapipe.hygiene import (
+        flag_contaminated,
+    )
+
+    d = _spread(spark, _docs(spark, sf_dir)).select("doc_id", "text")
+    bench = d.filter(F.pmod("doc_id", 50) == 0)
+    return flag_contaminated(d, bench, k=3, min_overlap=10)
+
+
 def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BPE-proxy word-piece count: camelCase boundary split + every
     # letter/digit run or single punctuation char is one piece
@@ -772,6 +797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_decontaminate": q_text_decontaminate,
         "text_tokens_bpe": q_text_tokens_bpe,
         "split_assign": q_split_assign,
         "events_stats": q_events_stats,
@@ -1089,6 +1116,40 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": (
             "select doc_id, sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as fp from documents"
         ),
+        "text_repetition": """
+          with w as (
+            select doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as words
+            from documents),
+          stats as (
+            select doc_id,
+                   round((len(words) - len(list_distinct(words))) * 1.0
+                         / greatest(len(words), 1), 6) as dup_word_frac,
+                   list_transform(range(greatest(len(words) - 1, 1)),
+                                  i -> array_to_string(words[i+1:i+2], ' ')) as gs
+            from w),
+          gx as (select doc_id, dup_word_frac, unnest(gs) as g from stats),
+          gc as (select doc_id, dup_word_frac, g, count(*) as c from gx group by 1, 2, 3)
+          select doc_id, dup_word_frac,
+                 round(max(c) * 1.0 / sum(c), 6) as top_ngram_frac
+          from gc group by doc_id, dup_word_frac
+        """,
+        "text_decontaminate": """
+          with base as (
+            select doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as toks
+            from documents),
+          sh as (
+            select doc_id,
+                   list_distinct(list_transform(
+                     range(greatest(len(toks) - 2, 1)),
+                     i -> array_to_string(toks[i+1:i+3], ' '))) as s
+            from base),
+          bench as (select distinct unnest(s) as g from sh where doc_id % 50 = 0),
+          dg as (select doc_id, unnest(s) as g from sh),
+          hits as (select doc_id, count(*) as n_overlap from dg join bench using (g) group by 1)
+          select doc_id, n_overlap from hits where n_overlap >= 10
+        """,
         "streaming_sessions": """
           with g as (
             select user_id, ts,

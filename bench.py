@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "graph_motifs",
     "text_quality",
     "text_langid",
+    "text_repetition",
+    "text_decontaminate",
     "agg_pricing",
     "join_top_customers",
     "events_by_type",

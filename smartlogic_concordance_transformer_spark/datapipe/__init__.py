@@ -16,7 +16,7 @@ from .dedup import (
     simhash,
     simhash_near_dups,
 )
-from .hygiene import boilerplate_lines, strip_boilerplate
+from .hygiene import boilerplate_lines, flag_contaminated, strip_boilerplate
 from .multimodal import FEATURE_SCHEMA, MEDIA_SCHEMA, extract_features, frame_sample_plan
 from .similarity import (
     brute_force_topk,
@@ -29,6 +29,7 @@ from .text import (
     detect_language,
     fingerprint,
     quality_score,
+    repetition_stats,
     scrub_pii,
     token_count,
     winnowing_fingerprints,
@@ -55,6 +56,8 @@ __all__ = [
     "winnowing_fingerprints",
     "boilerplate_lines",
     "strip_boilerplate",
+    "flag_contaminated",
+    "repetition_stats",
     "extract_features",
     "frame_sample_plan",
     "MEDIA_SCHEMA",

@@ -38,6 +38,46 @@ def boilerplate_lines(
     )
 
 
+def flag_contaminated(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int = 3,
+    min_overlap: int = 10,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing >=
+    ``min_overlap`` DISTINCT word k-gram shingles with an
+    evaluation/benchmark corpus — the standard leakage guard before
+    pretraining (the GPT-3/PaLM appendix n-gram-overlap check).
+
+    Scale shape: the benchmark's distinct shingle set is small by
+    construction (eval sets are orders of magnitude smaller than the
+    training corpus) and is **broadcast**; the 100 TB side explodes its
+    shingles and hash-joins against it without ever shuffling the
+    corpus, then one map-side-combinable count per doc. For benchmark
+    sets too large to broadcast, drop the broadcast hint and the same
+    plan becomes a shuffle hash join keyed on the shingle.
+
+    Returns (key_col, n_overlap) for flagged documents only; ``shingles``
+    emits distinct grams per doc, so n_overlap counts distinct shared
+    shingles.
+    """
+    from .dedup import shingles
+
+    bench = benchmark.select(
+        F.explode(shingles(bench_text_col, k)).alias("_g")
+    ).distinct()
+    doc_g = df.select(key_col, F.explode(shingles(text_col, k)).alias("_g"))
+    return (
+        doc_g.join(F.broadcast(bench), "_g")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def strip_boilerplate(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id", min_docs: int = 2
 ) -> DataFrame:

@@ -226,6 +226,47 @@ def test_strip_boilerplate(spark):
     assert set(out) == {0, 1, 2, 3, 9}
 
 
+def test_repetition_stats(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import repetition_stats
+
+    rows = [
+        (1, "a b c d e f g h"),              # all distinct, all bigrams distinct
+        (2, "spam spam spam spam"),          # 3/4 duplicate words, bigram "spam spam" = 3/3
+        (3, "x y x y x y"),                  # dup 4/6; bigrams: "x y"x3, "y x"x2 -> 3/5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    assert got[1].dup_word_frac == 0.0
+    assert got[1].top_ngram_frac == round(1 / 7, 6)
+    assert got[2].dup_word_frac == 0.75
+    assert got[2].top_ngram_frac == 1.0
+    assert got[3].dup_word_frac == round(4 / 6, 6)
+    assert got[3].top_ngram_frac == 0.6
+
+
+def test_flag_contaminated(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import flag_contaminated
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),  # verbatim leak
+            (2, "a quick brown fox jumps over a lazy dog sometimes it happens"),  # partial overlap
+            (3, "completely unrelated text about query engines and shuffles at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_overlap for r in flag_contaminated(train, bench, k=3, min_overlap=3).collect()}
+    assert 1 in got and got[1] >= 9      # verbatim doc shares every shingle
+    assert 3 not in got                  # unrelated doc not flagged
+    # tighter threshold keeps only the verbatim leak
+    strict = {r.doc_id for r in flag_contaminated(train, bench, k=3, min_overlap=9).collect()}
+    assert strict == {1}
+
+
 def test_asof_join_backward_semantics(spark):
     from smartlogic_concordance_transformer_spark.datapipe.asof import asof_join
 
