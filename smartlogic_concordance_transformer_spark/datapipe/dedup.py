@@ -36,8 +36,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
     )
 
 
-def shingles(text: Column | str, k: int = 5, word_grams: bool = True) -> Column:
-    """Distinct k-gram shingle array, computed natively.
+def shingles(
+    text: Column | str, k: int = 5, word_grams: bool = True, distinct: bool = True
+) -> Column:
+    """k-gram shingle array, computed natively (distinct by default; pass
+    ``distinct=False`` for frequency-sensitive consumers like the
+    repetition filter — one gram builder, no drift between operators).
 
     word_grams: k-word shingles over whitespace tokens (robust to
     formatting); otherwise character k-grams.
@@ -47,16 +51,14 @@ def shingles(text: Column | str, k: int = 5, word_grams: bool = True) -> Column:
     if word_grams:
         toks = F.split(F.trim(norm), " ")
         n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n - 1),
-                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-            )
+        grams = F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
         )
-    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
-    )
+    else:
+        n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+        grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
+    return F.array_distinct(grams) if distinct else grams
 
 
 def minhash_signatures(

@@ -73,7 +73,7 @@ def flag_contaminated(
     return (
         doc_g.join(F.broadcast(bench), "_g")
         .groupBy(key_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
 

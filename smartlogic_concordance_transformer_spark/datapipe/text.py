@@ -4,7 +4,7 @@ fingerprinting. All native Column expressions (codegen, oracle-checkable).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword dictionaries for the n-gram/stopword-hit
@@ -101,46 +101,43 @@ def scrub_pii(text: Column | str) -> Column:
     return c
 
 
-def repetition_stats(df, text_col: str = "text", key_col: str = "doc_id", n: int = 2):
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 2
+) -> DataFrame:
     """Gopher-style repetition filter inputs (Rae et al. 2021, app. A1):
     per document, the duplicate-word fraction and the fraction of all
     word n-grams taken by the single most frequent n-gram. High values
     flag boilerplate/spam/keyword-stuffed documents before pretraining.
 
-    Plan: the duplicate-word fraction is in-row array math (zero
-    shuffle). The top-n-gram fraction needs per-(doc, gram) frequencies:
-    explode n-grams -> groupBy(key, gram) count -> groupBy(key) max/sum
-    — both aggregations partially aggregate map-side, and the join back
-    to the in-row stats is keyed on the doc id. Payloads are counts;
-    nothing is all-pairs.
+    Plan: ONE corpus scan, zero joins. The duplicate-word fraction is
+    in-row array math and rides through the gram explode as an 8-byte
+    grouping key, so the whole operator is explode -> groupBy(key, frac,
+    gram) count -> groupBy(key, frac) max/sum — both aggregations
+    partially aggregate map-side; payloads are counts. Grams come from
+    the same ``shingles`` builder the dedup/decontamination operators
+    use (``distinct=False``), so gram semantics cannot drift between
+    operators.
 
     Returns (key, dup_word_frac, top_ngram_frac), both rounded to 6.
     """
+    from .dedup import shingles
+
     c = F.col(text_col)
     words = F.split(F.trim(F.lower(F.regexp_replace(c, r"\s+", " "))), " ")
     total = F.size(words)
     distinct = F.size(F.array_distinct(words))
-    base = df.select(
+    dup = F.round((total - distinct) / F.greatest(total, F.lit(1)), 6)
+    exploded = df.select(
         key_col,
-        words.alias("_w"),
-        F.round((total - distinct) / F.greatest(total, F.lit(1)), 6).alias(
-            "dup_word_frac"
-        ),
+        dup.alias("dup_word_frac"),
+        F.explode(shingles(c, k=n, word_grams=True, distinct=False)).alias("_g"),
     )
-    n_grams = F.greatest(F.size(F.col("_w")) - F.lit(n - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(0), n_grams - 1),
-        lambda i: F.array_join(F.slice(F.col("_w"), i + 1, n), " "),
-    )
-    top = (
-        base.select(key_col, F.explode(grams).alias("_g"))
-        .groupBy(key_col, "_g")
+    return (
+        exploded.groupBy(key_col, "dup_word_frac", "_g")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy(key_col)
+        .groupBy(key_col, "dup_word_frac")
         .agg(F.round(F.max("_c") / F.sum("_c"), 6).alias("top_ngram_frac"))
-    )
-    return base.drop("_w").join(top, key_col).select(
-        key_col, "dup_word_frac", "top_ngram_frac"
+        .select(key_col, "dup_word_frac", "top_ngram_frac")
     )
 
 
