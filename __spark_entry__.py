@@ -512,6 +512,21 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic per-source downsampling (the pretraining-mix op):
+    # src0 kept at 64/256 (25%), src1 at 128/256 (50%), everything else
+    # whole. Pure per-row projection — the fractions fold into a literal
+    # CASE, no RNG, no join, no shuffle; nested-subset property under
+    # fraction growth.
+    from smartlogic_concordance_transformer_spark.datapipe.sampling import (
+        stratified_sample,
+    )
+
+    return stratified_sample(
+        _docs(spark, sf_dir), {"src0": 64, "src1": 128}, strata_col="source"
+    ).select("doc_id", "source")
+
+
 def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-group mean/stddev derived from EXACT decimal sums (sum and
     # sum-of-squares), so both engines compute identical doubles — naive
@@ -801,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_tokens_bpe": q_text_tokens_bpe,
         "split_assign": q_split_assign,
+        "split_stratified": q_split_stratified,
         "events_stats": q_events_stats,
         "sim_topk": q_sim_topk,
         "sim_ivf": q_sim_ivf,
@@ -1240,6 +1256,16 @@ def oracle_sql() -> dict[str, str]:
                  case when substr(md5('split:' || cast(doc_id as varchar)), 1, 2) < '1a'
                       then 'test' else 'train' end as split
           from documents
+        """,
+        "split_stratified": """
+          select doc_id, source from documents
+          where case
+                  when source = 'src0'
+                    then substr(md5('sample:' || cast(doc_id as varchar)), 1, 2) < '40'
+                  when source = 'src1'
+                    then substr(md5('sample:' || cast(doc_id as varchar)), 1, 2) < '80'
+                  else true
+                end
         """,
         "events_quantiles": """
           select event_type,

@@ -17,6 +17,7 @@ from .dedup import (
     simhash_near_dups,
 )
 from .hygiene import boilerplate_lines, flag_contaminated, strip_boilerplate
+from .sampling import split_bucket, stratified_sample, train_test_split
 from .multimodal import FEATURE_SCHEMA, MEDIA_SCHEMA, extract_features, frame_sample_plan
 from .similarity import (
     brute_force_topk,
@@ -58,6 +59,9 @@ __all__ = [
     "strip_boilerplate",
     "flag_contaminated",
     "repetition_stats",
+    "split_bucket",
+    "stratified_sample",
+    "train_test_split",
     "extract_features",
     "frame_sample_plan",
     "MEDIA_SCHEMA",

@@ -47,3 +47,38 @@ def train_test_split(
     return df.withColumn(
         "split", F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, int],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the pretraining-mix
+    operator (keep 100% of books, 25% of web, ...), with the same
+    guarantees as ``train_test_split``: reproducible with no RNG, a pure
+    per-row projection (zero shuffle, zero sampling pass — the fractions
+    dictionary folds into a literal CASE expression, never a join), and
+    stable under re-partitioning and resume.
+
+    ``fractions`` maps stratum value -> kept buckets out of 256
+    (64 = 25%). Strata absent from the dict are kept whole. A row is
+    kept iff its hash bucket sorts below its stratum's threshold, so the
+    kept subset is NESTED as a fraction grows (raising web 64 -> 128
+    only adds rows — the curriculum-friendly property).
+    """
+    for stratum, buckets in fractions.items():
+        if not 0 <= buckets <= 256:
+            raise ValueError(f"fractions[{stratum!r}] must be in [0, 256]")
+    b = split_bucket(key_col, salt)
+    keep = F.lit(True)
+    for stratum, buckets in fractions.items():
+        in_stratum = F.col(strata_col) == F.lit(stratum)
+        if buckets == 256:
+            stratum_keep = F.lit(True)
+        else:
+            stratum_keep = b < format(buckets, "02x")
+        keep = F.when(in_stratum, stratum_keep).otherwise(keep)
+    return df.filter(keep)

@@ -344,6 +344,35 @@ def test_asof_join_rejects_reserved_and_colliding_names(spark):
         asof_join(l.withColumn("asof_v", l.ts), r, on="ts", by=["user"])
 
 
+def test_stratified_sample(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, "web" if i % 2 == 0 else "books") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    kept = stratified_sample(df, {"web": 64}, strata_col="source")
+    by_src = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["books"] == 200            # absent strata kept whole
+    assert 30 <= by_src["web"] <= 70         # ~25% of 200, hash-binomial spread
+
+    # determinism + nested-subset: growing the fraction only ADDS rows
+    small = {r.doc_id for r in stratified_sample(df, {"web": 64}, strata_col="source").collect()}
+    again = {r.doc_id for r in stratified_sample(df, {"web": 64}, strata_col="source").collect()}
+    assert small == again
+    big = {r.doc_id for r in stratified_sample(df, {"web": 128}, strata_col="source").collect()}
+    assert small <= big
+
+    # boundaries: 0 drops the stratum entirely, 256 keeps it whole
+    none = stratified_sample(df, {"web": 0}, strata_col="source")
+    assert none.filter(F.col("source") == "web").count() == 0
+    full = stratified_sample(df, {"web": 256}, strata_col="source")
+    assert full.count() == 400
+    with pytest.raises(ValueError):
+        stratified_sample(df, {"web": 257}, strata_col="source")
+
+
 def test_train_test_split_boundaries(spark):
     from smartlogic_concordance_transformer_spark.datapipe.sampling import (
         train_test_split,
