@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from smartlogic_concordance_transformer_spark.datapipe.dedup import (
     exact_dedup,
+    md5_token_hash,
     simhash,
     simhash_near_dups,
 )
@@ -306,16 +307,18 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup corpus: every 10th doc gets a one-token-perturbed twin at
     # doc_id+100000; 4x16-bit banded simhash recovers most twins at
-    # hamming <= 3. Token hashes are Spark-native xxhash64, which DuckDB
-    # has no equivalent of -> rows-only check; kernel semantics (twin
-    # equality, banding recall/precision) are pinned by pytest.
+    # hamming <= 3. The contract query passes the portable md5-derived
+    # 60-bit token hash so DuckDB can rebuild the identical fingerprints
+    # digit-by-digit (full rows+schema+hash check); the default
+    # xxhash64 kernel and its zero-shuffle plan are pinned separately by
+    # pytest (tests/test_plan_shape.py, test_datapipe.py).
     _ensure_shipped(spark)
     d = _spread(spark, _docs(spark, sf_dir)).select("doc_id", "text")
     pert = d.filter(F.pmod("doc_id", 10) == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qzx")).alias("text"),
     )
-    fps = simhash(d.unionByName(pert))
+    fps = simhash(d.unionByName(pert), token_hash=md5_token_hash)
     return simhash_near_dups(fps).select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
@@ -467,13 +470,14 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Gopher-style repetition filter inputs: duplicate-word fraction
-    # (in-row) + most-frequent-bigram fraction (explode -> two map-side-
-    # combinable aggs). Counts are exact integers, divisions are
-    # int/int -> identical IEEE doubles across engines.
+    # Gopher-style repetition filter inputs (full Rae et al. 2021 A1 set):
+    # duplicate word/line/paragraph fractions (in-row) + top-{2,3,4}-gram
+    # fractions (ONE tagged explode -> two map-side-combinable aggs).
+    # Counts are exact integers, divisions are int/int -> identical IEEE
+    # doubles across engines.
     from smartlogic_concordance_transformer_spark.datapipe.text import repetition_stats
 
-    return repetition_stats(_spread(spark, _docs(spark, sf_dir)), n=2)
+    return repetition_stats(_spread(spark, _docs(spark, sf_dir)))
 
 
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,6 +501,72 @@ def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", token_count("text", bpe_like=True).alias("n_pieces")
     )
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # THE composition query: the full pretraining-data curation cascade
+    # (hygiene -> quality/repetition gates -> exact + MinHash near-dedup
+    # -> benchmark decontamination -> stratified mix -> split) as one
+    # DataFrame DAG over the library operators. The raw corpus is the
+    # documents table wrapped with a global cookie banner, a per-doc PII
+    # line, and a per-source footer; the "eval set" is the ORIGINAL text
+    # of every 50th doc, so leaked eval docs must be caught on their
+    # CLEANED text. Thresholds sit in measured empty bands of the
+    # corpus distributions (quality values are exact quarters; the
+    # jaccard band 0.35-0.9 is empty post-clean, so the banded-LSH
+    # candidate set reproduces the oracle's all-pairs rows — same
+    # argument as dedup_lsh_verified, documented in docs/COVERAGE.md).
+    # The decontamination threshold is length-normalized (overlap_frac):
+    # the scrubbed PII line is IDENTICAL across all docs, so absolute
+    # overlap counts would flag everything — the exact failure mode the
+    # frac output exists for.
+    from smartlogic_concordance_transformer_spark.datapipe.curation import (
+        pretraining_pipeline,
+    )
+
+    d = _spread(spark, _docs(spark, sf_dir))
+    # planted failures so every stage fires: every 40th doc gets an exact
+    # content twin whose PII line DIFFERS pre-scrub (different doc_id ->
+    # different synthetic IP) but is identical post-scrub — exact dedup
+    # only catches it BECAUSE the scrub ran first; every 60th doc gets a
+    # keyword-stuffed spam twin for the repetition gate.
+    twins = d.filter(F.pmod("doc_id", 40) == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "source", "text"
+    )
+    # the doc-id suffix keeps each spam line unique: a byte-identical line
+    # across >= min_docs docs would be stripped as boilerplate first
+    spam = d.filter(F.pmod("doc_id", 60) == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        "source",
+        F.concat(
+            F.lit(("spam " * 50) + "doc"),
+            (F.col("doc_id") + 300000).cast("string"),
+        ).alias("text"),
+    )
+    raw0 = d.select("doc_id", "source", "text").unionByName(twins).unionByName(spam)
+    pii_line = F.concat(
+        F.lit("contact john.doe+"),
+        F.col("source"),
+        F.lit("@mail.example.com or +1 (415) 555-"),
+        F.lpad(F.pmod("doc_id", 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0."),
+        F.pmod("doc_id", 256).cast("string"),
+        F.lit(".7"),
+    )
+    raw = raw0.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.lit("=== COOKIE NOTICE: this site uses cookies ==="),
+            F.col("text"),
+            pii_line,
+            F.concat(F.lit("(c) newsletter footer for "), F.col("source")),
+        ).alias("text"),
+    )
+    bench = d.filter(F.pmod("doc_id", 50) == 0).select("text")
+    out = pretraining_pipeline(raw, bench, mix_fractions={"src0": 64, "src1": 128})
+    return out.select("doc_id", "kept", "stage", "split")
 
 
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,17 +632,47 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"))
 
 
+_IVF_K = 16
+_IVF_ITERS = 10
+_IVF_SEED = 42
+_IVF_MAX_TRAIN = 100_000
+
+
+def _ivf_train_matrix_spark(emb: DataFrame):
+    """Deterministic training matrix: every even vec_id, in vec_id order,
+    row-count-bounded. Deterministic (no Bernoulli sampling) so an
+    independent reader of the same parquet rebuilds the EXACT matrix and
+    hence — via the shared numpy kernel — the exact centroids."""
+    import numpy as np
+
+    rows = (
+        emb.filter(F.pmod("vec_id", 2) == 0)
+        .orderBy("vec_id")
+        .select("embedding")
+        .limit(_IVF_MAX_TRAIN)
+        .collect()
+    )
+    return np.array([r[0] for r in rows], dtype="float64")
+
+
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF ANN: kmeans coarse quantizer trained on a sample -> probe cells.
-    # No SQL oracle (iterative kmeans); rows-only check; recall vs exact
-    # top-k is pinned in tests/test_datapipe.py::test_ivf_search_recall.
+    # IVF ANN: kmeans coarse quantizer trained on a deterministic
+    # row-bounded sample -> probe cells -> exact cosine rerank. The
+    # iterative training itself is not SQL, but it is bit-deterministic
+    # (shared numpy kernel over a deterministically-ordered matrix), so
+    # the DuckDB oracle retrains identically via pyarrow and verifies
+    # cell assignment + probe selection + rerank as SQL over centroid
+    # LITERALS — full rows+schema+hash check. Recall vs exact top-k is
+    # additionally pinned in tests/test_datapipe.py::test_ivf_search_recall.
     from smartlogic_concordance_transformer_spark.datapipe.similarity import (
         ivf_search,
-        train_ivf_centroids,
+        lloyd_kmeans,
     )
 
     emb = _emb(spark, sf_dir)
-    cents = train_ivf_centroids(emb, k=16, sample_fraction=0.5, seed=42)
+    cents = lloyd_kmeans(
+        _ivf_train_matrix_spark(emb), k=_IVF_K, iters=_IVF_ITERS, seed=_IVF_SEED
+    )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -815,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_decontaminate": q_text_decontaminate,
         "text_tokens_bpe": q_text_tokens_bpe,
+        "pipeline_e2e": q_pipeline_e2e,
         "split_assign": q_split_assign,
         "split_stratified": q_split_stratified,
         "events_stats": q_events_stats,
@@ -847,6 +948,8 @@ _TOKENS_D = (
 
 
 def _langid_oracle() -> str:
+    # mirrors detect_language's two stages: RE2 spells Unicode script
+    # classes \p{Han} where Java spells \p{IsHan} — same character sets
     hits = {
         lang: f"len(list_intersect(list_distinct({_TOKENS_D}), "
         f"[{', '.join(repr(w) for w in words)}]))"
@@ -854,27 +957,83 @@ def _langid_oracle() -> str:
     }
     best = f"greatest({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']})"
     return f"""
+      with s as (
+        select doc_id, text,
+          length(regexp_replace(text, '[^\\p{{Hiragana}}\\p{{Katakana}}]', '', 'g')) as n_kana,
+          length(regexp_replace(text, '[^\\p{{Hangul}}]', '', 'g')) as n_hangul,
+          length(regexp_replace(text, '[^\\p{{Han}}]', '', 'g')) as n_han
+        from documents),
+      c as (select *, (n_kana + n_hangul + n_han) * 5 >= greatest(length(text), 1) as cjk from s)
       select doc_id,
-        case when {best} = 0 then 'und'
+        case when cjk and n_kana > 0 then 'ja'
+             when cjk and n_hangul > 0 then 'ko'
+             when cjk and n_han > 0 then 'zh'
+             when {best} = 0 then 'und'
              when {hits['en']} = {best} then 'en'
              when {hits['de']} = {best} then 'de'
              when {hits['fr']} = {best} then 'fr'
              else 'es' end as lang_pred
-      from documents
+      from c
     """
 
 
-def _quality_oracle() -> str:
-    en = ", ".join(repr(w) for w in STOPWORDS["en"])
+def _simhash_oracle() -> str:
+    """Independent all-pairs rebuild of the md5-token-hash SimHash: per
+    token the 60-bit hash is reassembled digit-by-digit from md5 hex
+    (shift-add), the per-bit strict-majority vote is 60 integer sums, and
+    near-dup pairs come from a full O(n^2) join + popcount filter — no
+    banding, so the oracle also re-proves the banding's exactness for
+    hamming <= 3."""
+    hexpr = (
+        "cast(list_sum(list_transform(range(15), i -> "
+        "((strpos('0123456789abcdef', substr(md5(w), i+1, 1)) - 1)::bigint "
+        "<< (4*(14-i))))) as bigint)"
+    )
+    bit_sums = ",\n                 ".join(
+        f"sum((h >> {b}) & 1) as b{b}" for b in range(60)
+    )
+    fp_terms = " + ".join(
+        f"(case when 2*b{b} > n then 1::bigint << {b} else 0 end)" for b in range(60)
+    )
     return f"""
+      with corpus as (
+        select doc_id, text from documents
+        union all
+        select doc_id + 100000, text || ' qzx' from documents where doc_id % 10 = 0),
+      tok as (
+        select doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) as w
+        from corpus),
+      h as (select doc_id, {hexpr} as h from tok),
+      v as (select doc_id, count(*) as n,
+                 {bit_sums}
+            from h group by doc_id),
+      fp as (select doc_id, cast({fp_terms} as bigint) as simhash from v),
+      ham as (
+        select a.doc_id as a, b.doc_id as b,
+               bit_count(xor(a.simhash, b.simhash)) as hamming
+        from fp a join fp b on a.doc_id < b.doc_id)
+      select a, b, cast(hamming as int) as hamming from ham where hamming <= 3
+    """
+
+
+def _quality_sql(col: str, src: str) -> str:
+    """quality_score as a DuckDB subquery over column ``col`` of ``src``
+    (which must expose doc_id). Shared by the standalone text_quality
+    oracle and the pipeline_e2e oracle so the formula cannot drift."""
+    tok = (
+        f"string_split_regex(lower(trim(regexp_replace({col}, "
+        "'[^\\p{L}\\p{N}\\s]', ' ', 'g'))), '\\s+')"
+    )
+    en = ", ".join(repr(w) for w in STOPWORDS["en"])
+    return f"""(
       with t as (
         select doc_id,
-          length(text) as n_chars,
-          len({_TOKENS_D}) as n_words,
-          length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) * 1.0 / greatest(length(text), 1) as alpha_ratio,
-          len(list_intersect(list_distinct({_TOKENS_D}), [{en}])) as stop_hits,
-          length(text) * 1.0 / greatest(len({_TOKENS_D}), 1) as mean_word_len
-        from documents)
+          length({col}) as n_chars,
+          length(regexp_replace({col}, '[^\\p{{L}}]', '', 'g')) * 1.0 / greatest(length({col}), 1) as alpha_ratio,
+          len(list_intersect(list_distinct({tok}), [{en}])) as stop_hits,
+          length({col}) * 1.0 / greatest(len({tok}), 1) as mean_word_len
+        from {src})
       select doc_id,
         cast(((case when n_chars >= 200 and n_chars <= 100000 then 1.0
                     when n_chars >= 50 then 0.5 else 0.0 end)
@@ -882,8 +1041,101 @@ def _quality_oracle() -> str:
             + (case when stop_hits >= 2 then 1.0 when stop_hits >= 1 then 0.5 else 0.0 end)
             + (case when alpha_ratio >= 0.6 then 1.0 when alpha_ratio >= 0.4 then 0.5 else 0.0 end)
              ) / 4 as double) as quality
-      from t
+      from t)"""
+
+
+def _quality_oracle() -> str:
+    return f"select doc_id, quality from {_quality_sql('text', 'documents')}"
+
+
+def _dlist(vec) -> str:
+    """A double[] literal that round-trips float64 EXACTLY: bare numeric
+    literals parse as DECIMAL in DuckDB and re-rounding through decimal
+    loses last-ulp bits (measured: ~10% of random doubles), so every
+    element goes through a correctly-rounded varchar->double cast."""
+    return "cast([" + ",".join(f"'{float(v)!r}'" for v in vec) + "] as double[])"
+
+
+def _sim_ivf_oracle() -> str:
+    """Full-value oracle for IVF ANN. The iterative k-means isn't SQL, but
+    it IS bit-deterministic: the training matrix is a deterministic
+    row-ordered subset of the parquet, and ``lloyd_kmeans`` is pure
+    numpy — so the oracle retrains INDEPENDENTLY (pyarrow read, same
+    kernel) and verifies the distributed parts (cell assignment, probe
+    selection, cosine rerank) as plain SQL over centroid literals. The
+    driver's correctness gate always runs oracles against sf0.01, which
+    is why the retrain reads that scale explicitly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        lloyd_kmeans,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vec_ids = np.asarray(t.column("vec_id"))
+    embs = np.asarray(t.column("embedding").to_pylist(), dtype="float64")
+    order = np.argsort(vec_ids, kind="stable")
+    even = vec_ids[order] % 2 == 0
+    X = embs[order][even][:_IVF_MAX_TRAIN]
+    C = np.asarray(
+        lloyd_kmeans(X, k=_IVF_K, iters=_IVF_ITERS, seed=_IVF_SEED), dtype="float64"
+    )
+    c2 = (C * C).sum(axis=1)  # same numpy reduction ivf_assign uses
+
+    # corpus-side assignment: argmin_j (||c_j||^2 - 2 x.c_j), first index
+    # wins ties — list_indexof returns the FIRST position of the min
+    s_exprs = ",\n                 ".join(
+        f"cast('{float(c2[j])!r}' as double) - 2.0 * list_inner_product(embedding, {_dlist(C[j])})"
+        for j in range(len(C))
+    )
+    # query-side probe ranking mirrors _centroid_dist2: full ||x-c||^2
+    probe_structs = ",\n                 ".join(
+        "struct_pack(cell := {j}, d := list_sum(list_transform("
+        "list_zip(qe, {cl}), p -> (p[1]-p[2])*(p[1]-p[2]))))".format(
+            j=j, cl=_dlist(C[j])
+        )
+        for j in range(len(C))
+    )
+    return f"""
+      with sc as (
+        select vec_id, embedding,
+               [{s_exprs}] as s
+        from embeddings),
+      cells as (
+        select vec_id, embedding,
+               list_indexof(s, list_aggregate(s, 'min')) - 1 as cell
+        from sc),
+      q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 5),
+      qp as (
+        select query_id, qe, u.cell as cell, u.d as d from (
+          select query_id, qe,
+                 unnest([{probe_structs}]) as u
+          from q)),
+      probes as (
+        select query_id, qe, cell from (
+          select query_id, qe, cell,
+                 row_number() over (partition by query_id order by d, cell) as pr
+          from qp) where pr <= 4),
+      scored as (
+        select p.query_id, c.vec_id,
+               list_cosine_similarity(cast(c.embedding as double[]),
+                                      cast(p.qe as double[])) as score
+        from cells c join probes p using (cell))
+      select query_id, vec_id, rank from (
+        select query_id, vec_id,
+               cast(row_number() over (partition by query_id
+                    order by score desc, vec_id) as int) as rank
+        from scored) where rank <= 10
     """
+
+
+def _pii_chain(expr: str) -> str:
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
 
 
 def _pii_oracle() -> str:
@@ -893,9 +1145,110 @@ def _pii_oracle() -> str:
         " || ' ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0.'"
         " || cast(doc_id % 256 as varchar) || '.7'"
     )
-    for pat, repl in PII_PATTERNS:
-        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
-    return f"select doc_id, {expr} as clean from documents"
+    return f"select doc_id, {_pii_chain(expr)} as clean from documents"
+
+
+def _pipeline_e2e_oracle() -> str:
+    """Independent SQL replay of the whole curation cascade. Each stage
+    reuses the same fragment shapes its standalone oracle uses; near-dedup
+    is all-pairs (oracles don't need to scale) where the engine is
+    banded-LSH — row-identical because every qualifying pair on this
+    corpus sits at j >= 0.9 (see q_pipeline_e2e's band note)."""
+    # shingle-set builder over a (doc_id, c) relation
+    sets = (
+        "select doc_id, list_distinct(list_transform("
+        "range(greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i+1:i+3], ' '))) as s "
+        "from (select doc_id, string_split(trim(regexp_replace(lower(c), '\\s+', ' ', 'g')), ' ') as toks from {src})"
+    )
+    clean_expr = _pii_chain(
+        "coalesce(list_aggregate(list_filter(string_split(r.t, chr(10)), "
+        "x -> not list_contains(bpl.ls, trim(x))), 'string_agg', chr(10)), '')"
+    )
+    return f"""
+      with raw0 as (
+        select doc_id, source, text from documents
+        union all
+        select doc_id + 200000, source, text from documents where doc_id % 40 = 0
+        union all
+        select doc_id + 300000, source,
+               repeat('spam ', 50) || 'doc' || cast(doc_id + 300000 as varchar)
+        from documents where doc_id % 60 = 0),
+      raw as (
+        select doc_id, source,
+               '=== COOKIE NOTICE: this site uses cookies ===' || chr(10) || text || chr(10) ||
+               'contact john.doe+' || source || '@mail.example.com or +1 (415) 555-' ||
+               lpad(cast(doc_id % 10000 as varchar), 4, '0') ||
+               ' ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0.' ||
+               cast(doc_id % 256 as varchar) || '.7' || chr(10) ||
+               '(c) newsletter footer for ' || source as t
+        from raw0),
+      l as (select doc_id, unnest(string_split(t, chr(10))) as line from raw),
+      bp as (select trim(line) as bl from l where trim(line) <> ''
+             group by 1 having count(distinct doc_id) >= 5),
+      bpl as (select coalesce(list(bl), []) as ls from bp),
+      clean as (
+        select r.doc_id, r.source, {clean_expr} as c
+        from raw r cross join bpl),
+      qual as (select doc_id, quality from {_quality_sql('c', 'clean')}),
+      wds as (select doc_id,
+                     string_split(trim(regexp_replace(lower(c), '\\s+', ' ', 'g')), ' ') as words
+              from clean),
+      dw as (select doc_id,
+                    round((len(words) - len(list_distinct(words))) * 1.0
+                          / greatest(len(words), 1), 6) as dwf, words
+             from wds),
+      t2 as (select doc_id, round(max(cnt) * 1.0 / sum(cnt), 6) as top2 from
+             (select doc_id, g, count(*) as cnt from
+              (select doc_id, unnest(list_transform(range(greatest(len(words) - 1, 1)),
+                      i -> array_to_string(words[i+1:i+2], ' '))) as g from dw)
+              group by 1, 2) group by 1),
+      base as (select c.doc_id, c.source, c.c, q.quality, d.dwf, t.top2
+               from clean c join qual q using (doc_id)
+               join dw d using (doc_id) join t2 t using (doc_id)),
+      dq as (select doc_id, 'quality' as stage from base where quality < 0.7),
+      dr as (select doc_id, 'repetition' as stage from base
+             where quality >= 0.7 and not (dwf <= 0.7 and top2 <= 0.125)),
+      s1 as (select doc_id, source, c from base
+             where quality >= 0.7 and dwf <= 0.7 and top2 <= 0.125),
+      s1r as (select *, row_number() over (partition by sha256(c) order by doc_id) as rn from s1),
+      de as (select doc_id, 'exact_dup' as stage from s1r where rn > 1),
+      s2 as (select doc_id, source, c from s1r where rn = 1),
+      sets2 as ({sets.format(src='s2')}),
+      np as (select b.doc_id as doc_id from sets2 a join sets2 b on a.doc_id < b.doc_id
+             where len(list_intersect(a.s, b.s)) * 1.0
+                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+             group by 1),
+      dn as (select doc_id, 'near_dup' as stage from np),
+      s3 as (select * from s2 where doc_id not in (select doc_id from np)),
+      bsh as (select distinct unnest(s) as g from (
+                select list_distinct(list_transform(range(greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i+1:i+3], ' '))) as s
+                from (select string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as toks
+                      from documents where doc_id % 50 = 0))),
+      dsh as (select t.doc_id, len(t.s) as n_sh, unnest(t.s) as g
+              from sets2 t join s3 using (doc_id)),
+      fl as (select doc_id from
+             (select doc_id, n_sh, count(*) as n_o from dsh join bsh using (g) group by 1, 2)
+             where round(n_o * 1.0 / greatest(n_sh, 1), 6) >= 0.5),
+      dc as (select doc_id, 'contaminated' as stage from fl),
+      s4 as (select * from s3 where doc_id not in (select doc_id from fl)),
+      keptmix as (select * from s4 where case
+                    when source = 'src0'
+                      then substr(md5('sample:' || cast(doc_id as varchar)), 1, 2) < '40'
+                    when source = 'src1'
+                      then substr(md5('sample:' || cast(doc_id as varchar)), 1, 2) < '80'
+                    else true end),
+      dm as (select doc_id, 'mix' as stage from s4
+             where doc_id not in (select doc_id from keptmix)),
+      drops as (select * from dq union all select * from dr union all select * from de
+                union all select * from dn union all select * from dc union all select * from dm)
+      select doc_id, true as kept, 'kept' as stage,
+             case when substr(md5('split:' || cast(doc_id as varchar)), 1, 2) < '1a'
+                  then 'test' else 'train' end as split
+      from keptmix
+      union all
+      select doc_id, false, stage, cast(null as varchar) from drops
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1109,6 +1462,8 @@ def oracle_sql() -> dict[str, str]:
           from c a join c b on a.vec_id < b.vec_id
           where list_cosine_similarity(a.embedding, b.embedding) >= 0.99
         """,
+        "dedup_simhash": _simhash_oracle(),
+        "sim_ivf": _sim_ivf_oracle(),
         "text_pii": _pii_oracle(),
         "text_boilerplate": """
           with src as (
@@ -1135,20 +1490,36 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": """
           with w as (
             select doc_id,
-                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as words
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as words,
+                   list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                               x -> x <> '') as lines,
+                   list_filter(list_transform(string_split(text, chr(10) || chr(10)), x -> trim(x)),
+                               x -> x <> '') as paras
             from documents),
-          stats as (
-            select doc_id,
+          f as (
+            select doc_id, words,
                    round((len(words) - len(list_distinct(words))) * 1.0
                          / greatest(len(words), 1), 6) as dup_word_frac,
-                   list_transform(range(greatest(len(words) - 1, 1)),
-                                  i -> array_to_string(words[i+1:i+2], ' ')) as gs
+                   round((len(lines) - len(list_distinct(lines))) * 1.0
+                         / greatest(len(lines), 1), 6) as dup_line_frac,
+                   round((len(paras) - len(list_distinct(paras))) * 1.0
+                         / greatest(len(paras), 1), 6) as dup_para_frac
             from w),
-          gx as (select doc_id, dup_word_frac, unnest(gs) as g from stats),
-          gc as (select doc_id, dup_word_frac, g, count(*) as c from gx group by 1, 2, 3)
-          select doc_id, dup_word_frac,
-                 round(max(c) * 1.0 / sum(c), 6) as top_ngram_frac
-          from gc group by doc_id, dup_word_frac
+          g2 as (select doc_id, unnest(list_transform(range(greatest(len(words) - 1, 1)),
+                        i -> array_to_string(words[i+1:i+2], ' '))) as g from f),
+          g3 as (select doc_id, unnest(list_transform(range(greatest(len(words) - 2, 1)),
+                        i -> array_to_string(words[i+1:i+3], ' '))) as g from f),
+          g4 as (select doc_id, unnest(list_transform(range(greatest(len(words) - 3, 1)),
+                        i -> array_to_string(words[i+1:i+4], ' '))) as g from f),
+          t2 as (select doc_id, round(max(c) * 1.0 / sum(c), 6) as top_2gram_frac from
+                 (select doc_id, g, count(*) as c from g2 group by 1, 2) group by doc_id),
+          t3 as (select doc_id, round(max(c) * 1.0 / sum(c), 6) as top_3gram_frac from
+                 (select doc_id, g, count(*) as c from g3 group by 1, 2) group by doc_id),
+          t4 as (select doc_id, round(max(c) * 1.0 / sum(c), 6) as top_4gram_frac from
+                 (select doc_id, g, count(*) as c from g4 group by 1, 2) group by doc_id)
+          select f.doc_id, dup_word_frac, dup_line_frac, dup_para_frac,
+                 top_2gram_frac, top_3gram_frac, top_4gram_frac
+          from f join t2 using (doc_id) join t3 using (doc_id) join t4 using (doc_id)
         """,
         "text_decontaminate": """
           with base as (
@@ -1162,9 +1533,12 @@ def oracle_sql() -> dict[str, str]:
                      i -> array_to_string(toks[i+1:i+3], ' '))) as s
             from base),
           bench as (select distinct unnest(s) as g from sh where doc_id % 50 = 0),
-          dg as (select doc_id, unnest(s) as g from sh),
-          hits as (select doc_id, count(*) as n_overlap from dg join bench using (g) group by 1)
-          select doc_id, n_overlap from hits where n_overlap >= 10
+          dg as (select doc_id, len(s) as n_sh, unnest(s) as g from sh),
+          hits as (select doc_id, n_sh, count(*) as n_overlap
+                   from dg join bench using (g) group by 1, 2)
+          select doc_id, n_overlap,
+                 round(n_overlap * 1.0 / greatest(n_sh, 1), 6) as overlap_frac
+          from hits where n_overlap >= 10
         """,
         "streaming_sessions": """
           with g as (
@@ -1251,6 +1625,7 @@ def oracle_sql() -> dict[str, str]:
                  len(string_split(trim(regexp_replace(x, '\s+', ' ', 'g')), ' ')) as n_pieces
           from p
         """,
+        "pipeline_e2e": _pipeline_e2e_oracle(),
         "split_assign": """
           select doc_id,
                  case when substr(md5('split:' || cast(doc_id as varchar)), 1, 2) < '1a'

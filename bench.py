@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "text_langid",
     "text_repetition",
     "text_decontaminate",
+    "pipeline_e2e",
     "agg_pricing",
     "join_top_customers",
     "events_by_type",

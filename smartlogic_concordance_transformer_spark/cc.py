@@ -127,8 +127,11 @@ def connected_components(
         # decreases the Kiveris potential until the fixpoint, so the edge
         # set cannot 2-cycle — fp(i) == fp(i-2) already implies fp(i) is
         # the fixpoint (a missed consecutive fixpoint only costs one
-        # extra cheap round over the final star forest).
-        if i >= 3 and i % 2 == 1:
+        # extra cheap round over the final star forest). The LAST
+        # iteration always probes, so the effective iteration budget at
+        # the max_iter boundary is unchanged — a graph that used to
+        # converge exactly at max_iter still does.
+        if i >= 3 and i % 2 == 1 and i != max_iter - 1:
             continue
         fp = _fingerprint(cur)
         if fp == prev_fp:

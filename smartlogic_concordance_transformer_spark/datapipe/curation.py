@@ -1,0 +1,142 @@
+"""End-to-end pretraining-data curation: the composition a real 100 TB
+run would execute, as ONE DataFrame DAG over the library operators:
+
+    hygiene (boilerplate strip + PII scrub)
+      -> quality / repetition gates
+      -> exact dedup -> MinHash->LSH->Jaccard near-dedup
+      -> benchmark decontamination
+      -> stratified mix -> deterministic train/test split
+
+Every stage is individually oracle-checked elsewhere; this module proves
+they COMPOSE — column contracts line up, the shared ``shingles`` builder
+keeps gram semantics identical across dedup/decontamination, and the
+whole cascade stays a lazy plan (no driver-side data movement).
+
+Output is a per-document ledger (doc_id, kept, stage, split): ``stage``
+is the first stage that dropped the doc ('quality', 'repetition',
+'exact_dup', 'near_dup', 'contaminated', 'mix') or 'kept'; ``split`` is
+'train'/'test' for kept docs, null otherwise.
+
+Scale shape: the cleaned corpus (clean text + per-doc quality/repetition
+stats) is computed ONCE and lazily checkpointed — it feeds six consumers
+(two gate filters, fingerprint dedup, shingle signatures, decon explode,
+the final union), which at 100 TB you would persist as an intermediate
+table instead. Stage scan counts over that materialized base: exact
+dedup 1 (hash window), near-dedup 2 (signature agg + candidate verify),
+decontamination 1 (explode + broadcast join), mix/split 0 extra (pure
+projections on survivors). Nothing all-pairs, nothing collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import minhash_lsh_candidates, minhash_signatures, ngram_jaccard_pairs
+from .hygiene import flag_contaminated, strip_boilerplate
+from .sampling import stratified_sample, train_test_split
+from .text import quality_score, repetition_stats, scrub_pii
+
+
+def _drop(df: DataFrame, key_col: str, stage: str) -> DataFrame:
+    return df.select(
+        key_col,
+        F.lit(False).alias("kept"),
+        F.lit(stage).alias("stage"),
+        F.lit(None).cast("string").alias("split"),
+    )
+
+
+def pretraining_pipeline(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+    min_quality: float = 0.7,
+    max_dup_word_frac: float = 0.7,
+    max_top_2gram_frac: float = 0.125,
+    jaccard_threshold: float = 0.8,
+    contamination_frac: float = 0.5,
+    mix_fractions: dict[str, int] | None = None,
+    boilerplate_min_docs: int = 5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Run the full curation cascade; returns the per-doc ledger.
+
+    ``docs``: (key_col, strata_col, text_col) raw corpus.
+    ``benchmark``: (text_col,) eval corpus for decontamination (may
+    overlap the training corpus — leaked eval sets are the point).
+    Near-dedup drops the larger key of every verified pair (deterministic
+    and non-recursive; cluster-representative dedup is
+    ``connected_components`` composed downstream if wanted).
+    """
+    mix_fractions = mix_fractions or {}
+
+    # -- hygiene: boilerplate strip, then PII scrub on the survivor lines
+    cleaned = strip_boilerplate(
+        docs, text_col=text_col, key_col=key_col, min_docs=boilerplate_min_docs
+    ).select(key_col, scrub_pii(F.col("clean_text")).alias("clean"))
+    stats = repetition_stats(cleaned, text_col="clean", key_col=key_col, ns=(2,))
+    base = (
+        cleaned.withColumn("quality", quality_score("clean"))
+        .join(stats.select(key_col, "dup_word_frac", "top_2gram_frac"), key_col)
+        .join(docs.select(key_col, strata_col), key_col)
+        # one materialization feeding every downstream consumer; the
+        # first action below realizes it (lazy -> no extra job). At real
+        # scale this is a written intermediate table.
+        .localCheckpoint(eager=False)
+    )
+
+    # -- quality / repetition gates
+    q_ok = F.col("quality") >= min_quality
+    r_ok = (F.col("dup_word_frac") <= max_dup_word_frac) & (
+        F.col("top_2gram_frac") <= max_top_2gram_frac
+    )
+    drops_quality = _drop(base.filter(~q_ok), key_col, "quality")
+    drops_rep = _drop(base.filter(q_ok & ~r_ok), key_col, "repetition")
+    s1 = base.filter(q_ok & r_ok)
+
+    # -- exact dedup (lowest key survives)
+    w = Window.partitionBy(F.sha2(F.col("clean"), 256)).orderBy(key_col)
+    s1n = s1.withColumn("_rn", F.row_number().over(w))
+    drops_exact = _drop(s1n.filter(F.col("_rn") > 1), key_col, "exact_dup")
+    s2 = s1n.filter(F.col("_rn") == 1).drop("_rn")
+
+    # -- near-dedup: MinHash -> banded LSH -> exact Jaccard verify
+    sigs = minhash_signatures(s2, text_col="clean", key_col=key_col, num_hashes=64, k=shingle_k)
+    cand = minhash_lsh_candidates(sigs, key_col=key_col, bands=16, rows_per_band=4)
+    pairs = ngram_jaccard_pairs(
+        s2, cand, text_col="clean", key_col=key_col, k=shingle_k,
+        threshold=jaccard_threshold,
+    )
+    dup_keys = pairs.select(F.col("b").alias(key_col)).distinct()
+    drops_near = _drop(s2.join(dup_keys, key_col, "left_semi"), key_col, "near_dup")
+    s3 = s2.join(dup_keys, key_col, "left_anti")
+
+    # -- benchmark decontamination, length-normalized threshold
+    flagged = flag_contaminated(
+        s3, benchmark, text_col="clean", key_col=key_col,
+        bench_text_col=text_col, k=shingle_k, min_overlap=1,
+    ).filter(F.col("overlap_frac") >= contamination_frac).select(key_col)
+    drops_con = _drop(s3.join(flagged, key_col, "left_semi"), key_col, "contaminated")
+    s4 = s3.join(flagged, key_col, "left_anti")
+
+    # -- pretraining mix (per-stratum deterministic downsample)
+    kept_mix = stratified_sample(
+        s4, mix_fractions, strata_col=strata_col, key_col=key_col
+    )
+    drops_mix = _drop(s4.join(kept_mix.select(key_col), key_col, "left_anti"), key_col, "mix")
+
+    # -- deterministic split on the final kept set
+    kept = train_test_split(kept_mix, key_col=key_col).select(
+        key_col,
+        F.lit(True).alias("kept"),
+        F.lit("kept").alias("stage"),
+        F.col("split"),
+    )
+
+    out = kept
+    for part in (drops_quality, drops_rep, drops_exact, drops_near, drops_con, drops_mix):
+        out = out.unionByName(part)
+    return out

@@ -154,11 +154,30 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+def md5_token_hash(t: Column) -> Column:
+    """Portable 60-bit token hash: first 15 hex chars of md5, as a long.
+    Slower than the default ``xxhash64`` but reproducible in any engine
+    with md5 + base conversion (the DuckDB oracle rebuilds it digit-by-
+    digit with shifts), which makes the whole SimHash pipeline
+    oracle-checkable. Bits 60-63 are always 0 — harmless: they vote 0
+    for every doc, so Hamming distances are unaffected."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    token_hash: "callable | None" = None,
+) -> DataFrame:
     """(key, simhash) — 64-bit SimHash: JVM-side token hashing, batched
     numpy bit-vote, ZERO shuffle (the token array never leaves its row).
 
-    Plan: ``transform(tokens, xxhash64)`` hashes every token occurrence
+    ``token_hash``: Column -> Column token hashing expression; defaults
+    to native ``xxhash64`` (the fast path). Pass ``md5_token_hash`` for
+    a cross-engine-reproducible variant (oracle checking).
+
+    Plan: ``transform(tokens, token_hash)`` hashes every token occurrence
     natively in-row, then one Arrow-batched pandas UDF takes the
     ``array<bigint>`` and computes the strict-majority bit vote for the
     whole batch at once (flatten -> 64 x ``bincount`` over the doc index
@@ -177,8 +196,10 @@ def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> D
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    if token_hash is None:
+        token_hash = lambda t: F.xxhash64(t)  # noqa: E731 — default fast path
     toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, token_hash)
 
     # no type hints: `from __future__ import annotations` stringifies them,
     # which pandas_udf hint-inference can't resolve for local closures

@@ -46,6 +46,7 @@ def flag_contaminated(
     bench_text_col: str = "text",
     k: int = 3,
     min_overlap: int = 10,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing >=
     ``min_overlap`` DISTINCT word k-gram shingles with an
@@ -54,27 +55,44 @@ def flag_contaminated(
 
     Scale shape: the benchmark's distinct shingle set is small by
     construction (eval sets are orders of magnitude smaller than the
-    training corpus) and is **broadcast**; the 100 TB side explodes its
-    shingles and hash-joins against it without ever shuffling the
-    corpus, then one map-side-combinable count per doc. For benchmark
-    sets too large to broadcast, drop the broadcast hint and the same
-    plan becomes a shuffle hash join keyed on the shingle.
+    training corpus) and is **broadcast** by default; the 100 TB side
+    explodes its shingles and hash-joins against it without ever
+    shuffling the corpus, then one map-side-combinable count per doc.
+    For benchmark sets too large to broadcast, pass ``broadcast=False``
+    and the same plan becomes a shuffle hash join keyed on the shingle.
 
-    Returns (key_col, n_overlap) for flagged documents only; ``shingles``
-    emits distinct grams per doc, so n_overlap counts distinct shared
-    shingles.
+    Returns (key_col, n_overlap, overlap_frac) for flagged documents
+    only; ``shingles`` emits distinct grams per doc, so n_overlap counts
+    distinct shared shingles and ``overlap_frac = n_overlap /
+    n_doc_shingles`` — the length-normalized form whose threshold
+    transfers across document lengths (absolute counts over-flag long
+    docs). The per-doc shingle total is in-row array math carried through
+    the explode as a grouping key, so it costs no extra scan or join.
     """
     from .dedup import shingles
 
     bench = benchmark.select(
         F.explode(shingles(bench_text_col, k)).alias("_g")
     ).distinct()
-    doc_g = df.select(key_col, F.explode(shingles(text_col, k)).alias("_g"))
+    if broadcast:
+        bench = F.broadcast(bench)
+    # two-step select so the shingle array is built once per row and both
+    # the size and the explode consume the same materialized column
+    doc_g = df.select(key_col, shingles(text_col, k).alias("_sh")).select(
+        key_col, F.size("_sh").alias("_n_sh"), F.explode("_sh").alias("_g")
+    )
     return (
-        doc_g.join(F.broadcast(bench), "_g")
-        .groupBy(key_col)
+        doc_g.join(bench, "_g")
+        .groupBy(key_col, "_n_sh")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
+        .select(
+            key_col,
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.greatest("_n_sh", F.lit(1)), 6).alias(
+                "overlap_frac"
+            ),
+        )
     )
 
 

@@ -192,6 +192,18 @@ def train_ivf_centroids(
         .collect()
     )
     X = np.array([r[0] for r in rows], dtype="float64")
+    return lloyd_kmeans(X, k=k, iters=iters, seed=seed)
+
+
+def lloyd_kmeans(X: "np.ndarray", k: int, iters: int = 10, seed: int = 42) -> list[list[float]]:
+    """Pure-numpy Lloyd iterations on an in-memory float64 matrix.
+
+    Deliberately exposed as the shared kernel: given the same matrix (same
+    rows, same order) this is bit-deterministic, so a verifier that
+    rebuilds the training matrix independently (e.g. the sim_ivf DuckDB
+    oracle reading the same parquet via pyarrow) reproduces the centroids
+    EXACTLY and can check assignment + rerank as plain SQL over centroid
+    literals."""
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
     for _ in range(iters):
@@ -238,9 +250,20 @@ def ivf_assign(corpus: DataFrame, centroids: list[list[float]], vec_col: str = "
     def _nearest(v):
         if len(v) == 0:
             return pd.Series(np.empty(0, dtype="int32"))
-        X = np.vstack(v.to_numpy())  # n x d
-        scores = c2[None, :] - 2.0 * (X @ CT)  # n x k (+||x||^2 omitted)
-        return pd.Series(scores.argmin(axis=1).astype("int32"))
+        vals = v.to_numpy()
+        # null/empty vectors get a null cell (vstack would raise and fail
+        # the whole task); mask them out of the batched matmul
+        ok = np.fromiter(
+            (x is not None and len(x) == CT.shape[0] for x in vals),
+            count=len(vals),
+            dtype=bool,
+        )
+        out = pd.array([None] * len(vals), dtype="Int32")
+        if ok.any():
+            X = np.vstack(vals[ok])  # n_ok x d
+            scores = c2[None, :] - 2.0 * (X @ CT)  # n_ok x k (+||x||^2 omitted)
+            out[ok] = scores.argmin(axis=1).astype("int32")
+        return pd.Series(out)
 
     return corpus.withColumn("_cell", _nearest(F.col(vec_col).cast("array<double>")))
 

@@ -39,9 +39,27 @@ def token_count(text: Column | str, bpe_like: bool = False) -> Column:
 
 
 def detect_language(text: Column | str) -> Column:
-    """Argmax over stopword-hit counts; 'und' (undetermined) when nothing
-    hits. One pass, no UDF: array_intersect against literal dictionaries."""
-    toks = F.array_distinct(_tokens(text))
+    """Two-stage language ID, one pass, no UDF.
+
+    Stage 1 — script ranges: whitespace tokenization yields nothing to
+    match for CJK text, so count Hiragana/Katakana, Hangul, and Han
+    characters first (native regexp_replace strip + length; Java and RE2
+    both support Unicode script classes, spelled ``\\p{IsHan}`` vs
+    ``\\p{Han}``). When CJK characters make up >= 20% of the text the
+    doc is ja (any kana), ko (else any hangul), or zh (han only) — all
+    integer comparisons, so any engine reproduces the decision exactly.
+
+    Stage 2 — argmax over stopword-hit counts for the Latin-script
+    languages; 'und' (undetermined) when nothing hits.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_kana = F.length(F.regexp_replace(c, r"[^\p{IsHiragana}\p{IsKatakana}]", ""))
+    n_hangul = F.length(F.regexp_replace(c, r"[^\p{IsHangul}]", ""))
+    n_han = F.length(F.regexp_replace(c, r"[^\p{IsHan}]", ""))
+    cjk = (n_kana + n_hangul + n_han) * 5 >= F.greatest(n_chars, F.lit(1))
+
+    toks = F.array_distinct(_tokens(c))
     scores = [
         (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
         for lang, words in STOPWORDS.items()
@@ -51,7 +69,12 @@ def detect_language(text: Column | str) -> Column:
     # reversed so earlier dict entries win ties (deterministic)
     for lang, s in reversed(scores):
         out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
-    return out
+    return (
+        F.when(cjk & (n_kana > 0), F.lit("ja"))
+        .when(cjk & (n_hangul > 0), F.lit("ko"))
+        .when(cjk & (n_han > 0), F.lit("zh"))
+        .otherwise(out)
+    )
 
 
 def quality_score(text: Column | str) -> Column:
@@ -101,43 +124,93 @@ def scrub_pii(text: Column | str) -> Column:
     return c
 
 
+def _dup_frac(items: Column) -> Column:
+    """(n - n_distinct) / n over an array — 0 for empty arrays."""
+    total = F.size(items)
+    return F.round(
+        (total - F.size(F.array_distinct(items))) / F.greatest(total, F.lit(1)), 6
+    )
+
+
 def repetition_stats(
-    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3, 4),
 ) -> DataFrame:
     """Gopher-style repetition filter inputs (Rae et al. 2021, app. A1):
-    per document, the duplicate-word fraction and the fraction of all
+    per document, the duplicate-word / duplicate-line / duplicate-
+    paragraph fractions plus, for each n in ``ns``, the fraction of all
     word n-grams taken by the single most frequent n-gram. High values
     flag boilerplate/spam/keyword-stuffed documents before pretraining.
 
-    Plan: ONE corpus scan, zero joins. The duplicate-word fraction is
-    in-row array math and rides through the gram explode as an 8-byte
-    grouping key, so the whole operator is explode -> groupBy(key, frac,
-    gram) count -> groupBy(key, frac) max/sum — both aggregations
-    partially aggregate map-side; payloads are counts. Grams come from
-    the same ``shingles`` builder the dedup/decontamination operators
-    use (``distinct=False``), so gram semantics cannot drift between
-    operators.
+    Plan: ONE corpus scan, zero joins, regardless of how many gram sizes
+    are requested — the n-gram streams are tagged with their size and
+    concatenated in-row, so a single explode feeds one (key, n, gram)
+    count and one conditional max/sum per size. The three duplicate
+    fractions are in-row array math riding through the explode as
+    grouping keys. Both aggregations partially aggregate map-side;
+    payloads are counts. Grams come from the same ``shingles`` builder
+    the dedup/decontamination operators use (``distinct=False``), so
+    gram semantics cannot drift between operators. Null text is treated
+    as '' (one defined-stats row per input doc, not silent omission).
 
-    Returns (key, dup_word_frac, top_ngram_frac), both rounded to 6.
+    Returns (key, dup_word_frac, dup_line_frac, dup_para_frac,
+    top_{n}gram_frac ...), all rounded to 6.
     """
     from .dedup import shingles
 
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(F.trim(F.lower(F.regexp_replace(c, r"\s+", " "))), " ")
-    total = F.size(words)
-    distinct = F.size(F.array_distinct(words))
-    dup = F.round((total - distinct) / F.greatest(total, F.lit(1)), 6)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    paras = F.filter(
+        F.transform(F.split(c, "\n\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    # NB: the tag lambda must be built by a closure factory — a
+    # `lambda g, n=n:` default-arg idiom has arity 2, which F.transform
+    # interprets as an (element, index) lambda and silently passes the
+    # array INDEX as the second argument
+    def _tag(size: int):
+        return lambda g: F.struct(F.lit(size).alias("n"), g.alias("g"))
+
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.transform(shingles(c, k=n, word_grams=True, distinct=False), _tag(n))
+                for n in ns
+            ]
+        )
+    )
     exploded = df.select(
         key_col,
-        dup.alias("dup_word_frac"),
-        F.explode(shingles(c, k=n, word_grams=True, distinct=False)).alias("_g"),
+        _dup_frac(words).alias("dup_word_frac"),
+        _dup_frac(lines).alias("dup_line_frac"),
+        _dup_frac(paras).alias("dup_para_frac"),
+        F.explode(tagged).alias("_t"),
+    ).select(
+        key_col,
+        "dup_word_frac",
+        "dup_line_frac",
+        "dup_para_frac",
+        F.col("_t.n").alias("_n"),
+        F.col("_t.g").alias("_g"),
     )
+    fracs = ["dup_word_frac", "dup_line_frac", "dup_para_frac"]
+    tops = [
+        F.round(
+            F.max(F.when(F.col("_n") == n, F.col("_c")))
+            / F.sum(F.when(F.col("_n") == n, F.col("_c"))),
+            6,
+        ).alias(f"top_{n}gram_frac")
+        for n in ns
+    ]
     return (
-        exploded.groupBy(key_col, "dup_word_frac", "_g")
+        exploded.groupBy(key_col, *fracs, "_n", "_g")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy(key_col, "dup_word_frac")
-        .agg(F.round(F.max("_c") / F.sum("_c"), 6).alias("top_ngram_frac"))
-        .select(key_col, "dup_word_frac", "top_ngram_frac")
+        .groupBy(key_col, *fracs)
+        .agg(*tops)
     )
 
 

@@ -412,6 +412,12 @@ class GraphFrame:
         # paths: (from, e0, v1, …, __head id) — grow one hop per round
         paths = frm.select(v_struct.alias("from"), F.col("id").alias("__head"))
         for hop in range(maxPathLength):
+            # LAZY checkpoint: the hit probe right below is the hop's one
+            # driver action — it materializes the checkpoint as a side
+            # effect, so each hop costs ONE job instead of two (eager
+            # checkpoint job + isEmpty job). When the probe misses it has
+            # scanned every partition, so the next hop's `paths` reuse
+            # reads the fully materialized checkpoint, never recomputes.
             grown = (
                 paths.join(edges.withColumnRenamed("src", "__head"), "__head")
                 .drop("__head")
@@ -419,7 +425,7 @@ class GraphFrame:
                 .withColumnRenamed("__e", f"e{hop}")
                 .join(v_attrs.withColumnRenamed("__vid", "__head"), "__head")
                 .withColumnRenamed("__v", f"v{hop + 1}")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             hits = grown.join(hit_ids, "__head", "left_semi")
             if not hits.isEmpty():

@@ -235,13 +235,36 @@ def test_repetition_stats(spark):
         (3, "x y x y x y"),                  # dup 4/6; bigrams: "x y"x3, "y x"x2 -> 3/5
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
     assert got[1].dup_word_frac == 0.0
-    assert got[1].top_ngram_frac == round(1 / 7, 6)
+    assert got[1].top_2gram_frac == round(1 / 7, 6)
     assert got[2].dup_word_frac == 0.75
-    assert got[2].top_ngram_frac == 1.0
+    assert got[2].top_2gram_frac == 1.0
     assert got[3].dup_word_frac == round(4 / 6, 6)
-    assert got[3].top_ngram_frac == 0.6
+    assert got[3].top_2gram_frac == 0.6
+    # 3-grams of doc 3: "x y x"x2, "y x y"x2 -> 2/4
+    assert got[3].top_3gram_frac == 0.5
+    # 4-grams of doc 3: "x y x y"x2, "y x y x"x1 -> 2/3
+    assert got[3].top_4gram_frac == round(2 / 3, 6)
+
+
+def test_repetition_stats_lines_paras_and_null_text(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import repetition_stats
+
+    rows = [
+        # non-empty lines: "dup line" x2, "same" x2 -> (4-2)/4 = 0.5
+        # paragraphs (split on \n\n): "dup line\ndup line", "same", "same" -> 1/3
+        (1, "dup line\ndup line\n\nsame\n\nsame"),
+        (2, None),  # null text must still yield a defined-stats row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].dup_line_frac == 0.5
+    assert got[1].dup_para_frac == round(1 / 3, 6)
+    assert got[2].dup_word_frac == 0.0
+    assert got[2].dup_line_frac == 0.0
+    assert got[2].dup_para_frac == 0.0
+    assert got[2].top_2gram_frac == 1.0  # the single empty gram
 
 
 def test_flag_contaminated(spark):
@@ -259,12 +282,119 @@ def test_flag_contaminated(spark):
         ],
         "doc_id long, text string",
     )
-    got = {r.doc_id: r.n_overlap for r in flag_contaminated(train, bench, k=3, min_overlap=3).collect()}
-    assert 1 in got and got[1] >= 9      # verbatim doc shares every shingle
-    assert 3 not in got                  # unrelated doc not flagged
+    got = {r.doc_id: r for r in flag_contaminated(train, bench, k=3, min_overlap=3).collect()}
+    assert 1 in got and got[1].n_overlap >= 9   # verbatim doc shares every shingle
+    assert got[1].overlap_frac == 1.0           # ... which is ALL of its shingles
+    assert 3 not in got                         # unrelated doc not flagged
+    if 2 in got:
+        assert got[2].overlap_frac < 1.0
     # tighter threshold keeps only the verbatim leak
     strict = {r.doc_id for r in flag_contaminated(train, bench, k=3, min_overlap=9).collect()}
     assert strict == {1}
+    # broadcast=False falls back to a shuffle hash join with identical rows
+    nb = {r.doc_id: r for r in flag_contaminated(train, bench, k=3, min_overlap=3, broadcast=False).collect()}
+    assert {k: (v.n_overlap, v.overlap_frac) for k, v in nb.items()} == {
+        k: (v.n_overlap, v.overlap_frac) for k, v in got.items()
+    }
+
+
+def test_langid_cjk_scripts(spark):
+    rows = [
+        (1, "これは日本語のテキストです"),
+        (2, "한국어로 작성된 문장입니다"),
+        (3, "这是一段比较长的中文文本内容"),
+        (4, "the cat sat on the mat and it was good"),
+        # one stray CJK char in English text must NOT flip the branch
+        (5, "the cat sat on the mat and it was good for the dog 字"),
+        # Japanese mixes kanji and kana -> ja, not zh
+        (6, "漢字とかなが混ざった文章です"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.pred for r in df.select("doc_id", detect_language("text").alias("pred")).collect()}
+    assert got[1] == "ja" and got[2] == "ko" and got[3] == "zh"
+    assert got[4] == "en" and got[5] == "en" and got[6] == "ja"
+
+
+def test_simhash_md5_token_hash_variant(docs):
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import md5_token_hash
+
+    fps = simhash(docs, token_hash=md5_token_hash)
+    vals = {r.doc_id: r.simhash for r in fps.collect()}
+    assert vals[1] == vals[2]  # identical docs -> identical fingerprints
+    assert all(v >= 0 for v in vals.values())  # 60-bit hash stays positive
+    nd = {(r.a, r.b) for r in simhash_near_dups(fps).collect()}
+    assert (1, 2) in nd and (1, 7) not in nd
+
+
+def test_ivf_assign_null_and_empty_vectors(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import ivf_assign
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None), (4, [])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r._cell for r in ivf_assign(emb, [[1.0, 0.0], [0.0, 1.0]]).collect()}
+    assert got[1] == 0 and got[2] == 1
+    assert got[3] is None and got[4] is None
+
+
+def test_pretraining_pipeline_stage_attribution(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.curation import (
+        pretraining_pipeline,
+    )
+
+    bodies = [
+        "the red fox runs across the open field and the morning light falls "
+        "gently on the quiet hills while distant birds call softly from the "
+        "old oak trees near the river bend",
+        "a small boat drifts slowly down the winding river as the fisherman "
+        "casts his line into the deep water hoping that the evening catch "
+        "will feed his family for the week",
+        "inside the busy kitchen the chef prepares a rich stew with fresh "
+        "herbs and root vegetables while steam rises from the copper pots "
+        "hanging above the worn wooden counter",
+        "the old library holds thousands of dusty books about science "
+        "history and art where students wander for hours between tall "
+        "shelves looking for that one perfect page of insight",
+        "heavy rain fell on the city all night filling the storm drains and "
+        "washing the empty streets clean before the sun returned to dry the "
+        "pavement in the early light",
+    ]
+    hdr = "=== COOKIE BANNER ==="
+    rows = [
+        # five distinct docs (also make the header recur >= 5x); doc 0
+        # carries a PII line so its copies below clean to the same bytes
+        (0, "web", f"{hdr}\n{bodies[0]}\nmail x@y.io"),
+        *[(i, "web", f"{hdr}\n{bodies[i]}") for i in range(1, 5)],
+        # exact dups of doc 0 after cleaning (same body, DIFFERENT PII)
+        (10, "web", f"{hdr}\n{bodies[0]}\nmail a@b.co"),
+        (11, "web", f"{hdr}\n{bodies[0]}\nmail c@d.org"),
+        # near dup of doc 1 (one word changed)
+        (12, "web", f"{hdr}\n" + bodies[1].replace("boat", "raft")),
+        # keyword-stuffed spam (passes quality, fails repetition)
+        (13, "web", f"{hdr}\n" + ("spam " * 60) + "doc13"),
+        # junk (fails quality)
+        (14, "web", "!!! ### $$$"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = spark.createDataFrame([(bodies[4],)], "text string")
+    out = {
+        r.doc_id: r
+        for r in pretraining_pipeline(
+            docs, bench, mix_fractions={}, boilerplate_min_docs=5
+        ).collect()
+    }
+    assert len(out) == len(rows)  # exactly one ledger row per input doc
+    assert out[14].stage == "quality" and not out[14].kept
+    assert out[13].stage == "repetition"
+    # doc 0 survives; its PII-differing copies dedup exactly AFTER scrub
+    assert out[0].kept and out[10].stage == "exact_dup" and out[11].stage == "exact_dup"
+    assert out[12].stage == "near_dup" and out[1].kept
+    assert out[4].stage == "contaminated"  # leaked eval doc caught
+    kept = [r for r in out.values() if r.kept]
+    assert all(r.stage == "kept" and r.split in ("train", "test") for r in kept)
+    dropped = [r for r in out.values() if not r.kept]
+    assert all(r.split is None for r in dropped)
 
 
 def test_asof_join_backward_semantics(spark):

@@ -71,15 +71,13 @@ def test_every_query_has_oracle_or_reason():
     os_ = set(entry.oracle_sql())
     assert os_ <= qs
     # rows-only queries must be the genuinely non-SQL-expressible ones:
-    # the double-MD5 kernel (DuckDB md5 is VARCHAR-only), IVF ANN
-    # (iterative kmeans training), xxhash64-based simhash (DuckDB has no
-    # xxhash64; its hash() is a different function, so fingerprints can't
-    # be reproduced), and the sha256-of-BLOB fake media decoder (DuckDB
-    # 1.0 sha256/md5 accept VARCHAR only — verified, no BLOB overload)
+    # the double-MD5 kernel (DuckDB md5 is VARCHAR-only) and the
+    # sha256-of-BLOB fake media decoder (DuckDB 1.0 sha256/md5 accept
+    # VARCHAR only — verified, no BLOB overload). dedup_simhash became
+    # oracle-checkable in round 4 via the portable md5 token hash;
+    # sim_ivf via deterministic training + centroid literals.
     assert qs - os_ == {
         "kg_uuid_factset",
-        "sim_ivf",
-        "dedup_simhash",
         "multimodal_features",
     }
 
