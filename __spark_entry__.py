@@ -1056,7 +1056,11 @@ def _dlist(vec) -> str:
     return "cast([" + ",".join(f"'{float(v)!r}'" for v in vec) + "] as double[])"
 
 
-def _sim_ivf_oracle() -> str:
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _sim_ivf_oracle() -> str | None:
     """Full-value oracle for IVF ANN. The iterative k-means isn't SQL, but
     it IS bit-deterministic: the training matrix is a deterministic
     row-ordered subset of the parquet, and ``lloyd_kmeans`` is pure
@@ -1064,7 +1068,17 @@ def _sim_ivf_oracle() -> str:
     kernel) and verifies the distributed parts (cell assignment, probe
     selection, cosine rerank) as plain SQL over centroid literals. The
     driver's correctness gate always runs oracles against sf0.01, which
-    is why the retrain reads that scale explicitly."""
+    is why the retrain reads that scale explicitly; on a machine without
+    that data the query degrades to rows-only (returns None) instead of
+    breaking every oracle. Memoized: callers invoke oracle_sql() freely
+    (pytest calls it per test) and the retrain must not rerun each time.
+
+    Float caveat (unlike the integer-exact oracles): the engine's
+    assignment/rerank use BLAS reductions whose summation order differs
+    from DuckDB's sequential list_inner_product, so hash-equality
+    additionally relies on no two cells/scores being within ~1 ulp for
+    any row of THIS corpus — true for the gaussian test embeddings,
+    re-check if the corpus is regenerated (see docs/COVERAGE.md)."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -1072,6 +1086,8 @@ def _sim_ivf_oracle() -> str:
         lloyd_kmeans,
     )
 
+    if not os.path.exists("/root/testdata/sf0.01/embeddings.parquet"):
+        return None
     t = pq.read_table(
         "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -1261,7 +1277,7 @@ def oracle_sql() -> dict[str, str]:
         f"min(md5('{j}:' || w)) as m{j}" for j in range(_MINHASH_SEEDS)
     )
     minhash_sig = " || '|' || ".join(f"m{j}" for j in range(_MINHASH_SEEDS))
-    return {
+    oracles = {
         "kg_upp_json": f"select doc_id, {upp_json_d} as upp_json from documents",
         "kg_triples": f"""
           select doc_id, {_CUUID_DUCK} as subj, 'concordsWith' as pred, {_TME_UUID_D} as obj from documents
@@ -1463,7 +1479,6 @@ def oracle_sql() -> dict[str, str]:
           where list_cosine_similarity(a.embedding, b.embedding) >= 0.99
         """,
         "dedup_simhash": _simhash_oracle(),
-        "sim_ivf": _sim_ivf_oracle(),
         "text_pii": _pii_oracle(),
         "text_boilerplate": """
           with src as (
@@ -1697,3 +1712,10 @@ def oracle_sql() -> dict[str, str]:
           from events group by event_type
         """,
     }
+    # the IVF oracle needs the sf0.01 parquet to retrain its centroid
+    # literals; where that data is absent the query degrades to the
+    # driver's rows-only check instead of breaking oracle_sql() entirely
+    ivf = _sim_ivf_oracle()
+    if ivf is not None:
+        oracles["sim_ivf"] = ivf
+    return oracles

@@ -7,8 +7,10 @@ Arrow-batched pandas UDFs only where built-ins genuinely can't express the
 semantics (simhash bit-majority, embedding matrix math, binary decode).
 """
 
+from .curation import pretraining_pipeline
 from .dedup import (
     exact_dedup,
+    md5_token_hash,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -23,6 +25,7 @@ from .similarity import (
     brute_force_topk,
     ivf_assign,
     ivf_search,
+    lloyd_kmeans,
     lsh_ann_topk,
     train_ivf_centroids,
 )
@@ -39,6 +42,7 @@ from .text import (
 __all__ = [
     "exact_dedup",
     "shingles",
+    "md5_token_hash",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
@@ -48,7 +52,9 @@ __all__ = [
     "lsh_ann_topk",
     "ivf_assign",
     "ivf_search",
+    "lloyd_kmeans",
     "train_ivf_centroids",
+    "pretraining_pipeline",
     "detect_language",
     "quality_score",
     "token_count",
