@@ -78,10 +78,19 @@ def pretraining_pipeline(
     """
     mix_fractions = mix_fractions or {}
 
-    # -- hygiene: boilerplate strip, then PII scrub on the survivor lines
-    cleaned = strip_boilerplate(
-        docs, text_col=text_col, key_col=key_col, min_docs=boilerplate_min_docs
-    ).select(key_col, scrub_pii(F.col("clean_text")).alias("clean"))
+    # -- hygiene: boilerplate strip, then PII scrub on the survivor lines.
+    # The barrier here is as much about PLAN size as data reuse: the scrub
+    # chain over the line-reassembly aggregate is a large expression tree,
+    # and without the cut Catalyst re-optimizes a copy of it inlined into
+    # every downstream consumer (quality, stats, hashing, shingling) —
+    # at sf0.1 driver-side planning dominated wall time before the cut.
+    cleaned = (
+        strip_boilerplate(
+            docs, text_col=text_col, key_col=key_col, min_docs=boilerplate_min_docs
+        )
+        .select(key_col, scrub_pii(F.col("clean_text")).alias("clean"))
+        .localCheckpoint(eager=False)
+    )
     stats = repetition_stats(cleaned, text_col="clean", key_col=key_col, ns=(2,))
     base = (
         cleaned.withColumn("quality", quality_score("clean"))
@@ -102,20 +111,35 @@ def pretraining_pipeline(
     drops_rep = _drop(base.filter(q_ok & ~r_ok), key_col, "repetition")
     s1 = base.filter(q_ok & r_ok)
 
-    # -- exact dedup (lowest key survives). s2 is checkpointed: four
-    # downstream consumers (signatures, pair verify x2, the near-dup
-    # semi/anti joins) would otherwise each replay the hash window.
+    # -- exact dedup (lowest key survives). s2 is checkpointed with the
+    # doc's shingle SET materialized as a column: four downstream
+    # consumers (signatures, pair verify x2, decontamination) read the
+    # column instead of each rebuilding the gram expression — one gram
+    # build per doc and one optimization of that tree, not four.
+    from .dedup import shingles
+
     w = Window.partitionBy(F.sha2(F.col("clean"), 256)).orderBy(key_col)
     s1n = s1.withColumn("_rn", F.row_number().over(w))
     drops_exact = _drop(s1n.filter(F.col("_rn") > 1), key_col, "exact_dup")
-    s2 = s1n.filter(F.col("_rn") == 1).drop("_rn").localCheckpoint(eager=False)
+    s2 = (
+        s1n.filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_sh", shingles("clean", shingle_k))
+        .localCheckpoint(eager=False)
+    )
 
-    # -- near-dedup: MinHash -> banded LSH -> exact Jaccard verify
-    sigs = minhash_signatures(s2, text_col="clean", key_col=key_col, num_hashes=64, k=shingle_k)
+    # -- near-dedup: MinHash -> banded LSH -> exact Jaccard verify.
+    # Signatures get their own barrier: the banded self-join consumes
+    # them on BOTH sides, and the 64-wide min aggregate is the single
+    # most expensive subplan for Catalyst — without the cut it is
+    # optimized twice. (At run scale the signature table is persisted
+    # anyway — it is the unit of incremental dedup.)
+    sigs = minhash_signatures(
+        s2, key_col=key_col, num_hashes=64, shingles_col="_sh"
+    ).localCheckpoint(eager=False)
     cand = minhash_lsh_candidates(sigs, key_col=key_col, bands=16, rows_per_band=4)
     pairs = ngram_jaccard_pairs(
-        s2, cand, text_col="clean", key_col=key_col, k=shingle_k,
-        threshold=jaccard_threshold,
+        s2, cand, key_col=key_col, threshold=jaccard_threshold, shingles_col="_sh"
     )
     # the drop-key frames are TINY but their lineage is the expensive
     # part of the whole DAG — checkpoint them (lazily) so the
@@ -133,6 +157,7 @@ def pretraining_pipeline(
         flag_contaminated(
             s3, benchmark, text_col="clean", key_col=key_col,
             bench_text_col=text_col, k=shingle_k, min_overlap=1,
+            shingles_col="_sh",
         )
         .filter(F.col("overlap_frac") >= contamination_frac)
         .select(key_col)

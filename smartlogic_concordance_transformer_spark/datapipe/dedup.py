@@ -68,17 +68,26 @@ def minhash_signatures(
     num_hashes: int = 64,
     k: int = 5,
     word_grams: bool = True,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """(key, signature array<bigint>) — min over xxhash64(shingle, seed)
     per seed. One explode + one groupBy; min is partially aggregatable so
-    the combine happens map-side."""
+    the combine happens map-side.
+
+    ``shingles_col``: name of a precomputed shingle-array column to use
+    instead of rebuilding the shingle expression from ``text_col`` — the
+    composition hook: a pipeline that also Jaccard-verifies and
+    decontaminates materializes the shingle set ONCE behind a barrier and
+    every consumer reads the column (one gram build per doc, and a far
+    smaller plan for Catalyst to optimize)."""
+    src = F.col(shingles_col) if shingles_col else shingles(text_col, k, word_grams)
     # hash the (variable-length) shingle string ONCE, then derive the
     # num_hashes independent functions by re-hashing the fixed 8-byte long
     # with per-function seeds — 1 string hash + N long hashes per shingle
     # instead of N string hashes (the string hash dominates at ~15-40 B)
-    sh = df.select(
-        key_col, F.explode(shingles(text_col, k, word_grams)).alias("_sh")
-    ).select(key_col, F.xxhash64(F.col("_sh")).alias("_h"))
+    sh = df.select(key_col, F.explode(src).alias("_sh")).select(
+        key_col, F.xxhash64(F.col("_sh")).alias("_h")
+    )
     mins = [
         F.min(F.xxhash64(F.col("_h"), F.lit(seed))).alias(f"_h{seed}")
         for seed in range(num_hashes)
@@ -135,12 +144,15 @@ def ngram_jaccard_pairs(
     k: int = 5,
     word_grams: bool = True,
     threshold: float = 0.0,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs: (a, b, jaccard).
 
     The shingle table is joined twice; each side is a broadcast-or-shuffle
-    hash join on the key — no cross product."""
-    sh = df.select(F.col(key_col).alias("_k"), shingles(text_col, k, word_grams).alias("_s"))
+    hash join on the key — no cross product. ``shingles_col`` reuses a
+    precomputed shingle-array column (see ``minhash_signatures``)."""
+    src = F.col(shingles_col) if shingles_col else shingles(text_col, k, word_grams)
+    sh = df.select(F.col(key_col).alias("_k"), src.alias("_s"))
     joined = (
         pairs.join(sh.withColumnRenamed("_k", "a").withColumnRenamed("_s", "_sa"), "a")
         .join(sh.withColumnRenamed("_k", "b").withColumnRenamed("_s", "_sb"), "b")

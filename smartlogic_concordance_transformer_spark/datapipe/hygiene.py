@@ -47,6 +47,7 @@ def flag_contaminated(
     k: int = 3,
     min_overlap: int = 10,
     broadcast: bool = True,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing >=
     ``min_overlap`` DISTINCT word k-gram shingles with an
@@ -77,8 +78,11 @@ def flag_contaminated(
     if broadcast:
         bench = F.broadcast(bench)
     # two-step select so the shingle array is built once per row and both
-    # the size and the explode consume the same materialized column
-    doc_g = df.select(key_col, shingles(text_col, k).alias("_sh")).select(
+    # the size and the explode consume the same materialized column;
+    # ``shingles_col`` skips the build entirely and reads a precomputed
+    # column (the pipeline-composition hook, see minhash_signatures)
+    src = F.col(shingles_col) if shingles_col else shingles(text_col, k)
+    doc_g = df.select(key_col, src.alias("_sh")).select(
         key_col, F.size("_sh").alias("_n_sh"), F.explode("_sh").alias("_g")
     )
     return (
