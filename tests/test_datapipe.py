@@ -338,6 +338,40 @@ def test_ivf_assign_null_and_empty_vectors(spark):
     assert got[3] is None and got[4] is None
 
 
+def test_shingles_col_reuse_is_equivalent(spark, docs):
+    # the pipeline-composition hook: consuming a precomputed shingle-array
+    # column must be row-identical to rebuilding the grams from text
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        flag_contaminated,
+        shingles,
+    )
+
+    pre = docs.withColumn("_sh", shingles("text", 3))
+    sig_a = {(r.doc_id, tuple(r.signature)) for r in minhash_signatures(docs, k=3, num_hashes=16).collect()}
+    sig_b = {
+        (r.doc_id, tuple(r.signature))
+        for r in minhash_signatures(pre, num_hashes=16, shingles_col="_sh").collect()
+    }
+    assert sig_a == sig_b
+    cand = minhash_lsh_candidates(
+        minhash_signatures(docs, k=3, num_hashes=64), bands=16, rows_per_band=4
+    )
+    pj_a = {tuple(r) for r in ngram_jaccard_pairs(docs, cand, k=3).collect()}
+    pj_b = {
+        tuple(r) for r in ngram_jaccard_pairs(pre, cand, shingles_col="_sh").collect()
+    }
+    assert pj_a == pj_b
+    bench = docs.filter(F.col("doc_id") == 1)
+    fc_a = {tuple(r) for r in flag_contaminated(docs, bench, k=3, min_overlap=1).collect()}
+    fc_b = {
+        tuple(r)
+        for r in flag_contaminated(
+            pre, bench, k=3, min_overlap=1, shingles_col="_sh"
+        ).collect()
+    }
+    assert fc_a == fc_b
+
+
 def test_pretraining_pipeline_stage_attribution(spark):
     from smartlogic_concordance_transformer_spark.datapipe.curation import (
         pretraining_pipeline,
