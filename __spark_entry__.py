@@ -495,6 +495,27 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_contaminated(d, bench, k=3, min_overlap=10)
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequence packing with overlapping windows (stride < chunk): one
+    # codegen explode, zero shuffle; chunk counts are exact integer math
+    # so both engines enumerate identical windows.
+    from smartlogic_concordance_transformer_spark.datapipe.text import chunk_documents
+
+    return chunk_documents(
+        _spread(spark, _docs(spark, sf_dir)), chunk_tokens=32, stride=24
+    )
+
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus vocabulary: token frequency table with a rare-token cutoff;
+    # one explode + one map-side-combinable count.
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        token_frequencies,
+    )
+
+    return token_frequencies(_spread(spark, _docs(spark, sf_dir)), min_count=5)
+
+
 def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BPE-proxy word-piece count: camelCase boundary split + every
     # letter/digit run or single punctuation char is one piece
@@ -914,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_decontaminate": q_text_decontaminate,
+        "text_chunks": q_text_chunks,
+        "text_vocab": q_text_vocab,
         "text_tokens_bpe": q_text_tokens_bpe,
         "pipeline_e2e": q_pipeline_e2e,
         "split_assign": q_split_assign,
@@ -1628,6 +1651,30 @@ def oracle_sql() -> dict[str, str]:
                  count(*) as n,
                  cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty
           from lineitem group by rollup (l_returnflag, l_linestatus)
+        """,
+        "text_chunks": """
+          with t as (
+            select doc_id,
+                   string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') as toks
+            from documents),
+          c as (select doc_id, toks,
+                       unnest(range(greatest((len(toks) + 23) // 24, 1))) as cid
+                from t),
+          s as (select doc_id, cast(cid as int) as chunk_id,
+                       toks[cid*24+1 : cid*24+32] as ch
+                from c)
+          select doc_id, chunk_id,
+                 array_to_string(ch, ' ') as chunk_text,
+                 cast(len(ch) as int) as n_tokens
+          from s
+        """,
+        "text_vocab": """
+          with w as (
+            select unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) as token
+            from documents)
+          select token, count(*) as count from w
+          where token <> ''
+          group by token having count(*) >= 5
         """,
         "text_tokens_bpe": r"""
           with p as (

@@ -30,12 +30,14 @@ from .similarity import (
     train_ivf_centroids,
 )
 from .text import (
+    chunk_documents,
     detect_language,
     fingerprint,
     quality_score,
     repetition_stats,
     scrub_pii,
     token_count,
+    token_frequencies,
     winnowing_fingerprints,
 )
 
@@ -55,9 +57,11 @@ __all__ = [
     "lloyd_kmeans",
     "train_ivf_centroids",
     "pretraining_pipeline",
+    "chunk_documents",
     "detect_language",
     "quality_score",
     "token_count",
+    "token_frequencies",
     "fingerprint",
     "scrub_pii",
     "winnowing_fingerprints",

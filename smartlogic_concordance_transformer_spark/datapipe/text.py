@@ -217,6 +217,81 @@ def repetition_stats(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sequence packing: split every document into fixed-size token chunks
+    (word-aligned, whitespace tokens) — the Spark half of the
+    tokenize-and-pack step that feeds pretraining dataloaders.
+
+    ``stride`` defaults to ``chunk_tokens`` (disjoint chunks); a smaller
+    stride yields overlapping windows. Trailing chunks may be shorter
+    than ``chunk_tokens``; ``n_tokens`` is emitted so consumers can drop
+    fragments below their minimum. Chunk starts are ``0, stride,
+    2*stride, …`` while the start is inside the document, so the chunk
+    count is ``ceil(n_tokens / stride)`` — computed with integer
+    arithmetic ``(n + stride - 1) div stride`` for cross-engine
+    exactness.
+
+    Scale shape: one scan, one codegen explode, zero shuffle, zero UDF —
+    a pure fan-out projection that runs at scan speed and preserves the
+    input partitioning (key_col stays the natural downstream partition
+    key; chunks of a doc stay in its partition).
+
+    Returns (key, chunk_id, chunk_text, n_tokens).
+    """
+    stride = stride or chunk_tokens
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(F.trim(F.regexp_replace(c, r"\s+", " ")), " ")
+    n_chunks = F.greatest(
+        F.expr(f"(size(_toks) + {stride - 1}) div {stride}").cast("int"), F.lit(1)
+    )
+    two = df.select(key_col, toks.alias("_toks")).select(
+        key_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return two.select(
+        key_col,
+        "chunk_id",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+def token_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus token-frequency table (token, count) — vocabulary building
+    and frequency-based filtering (rare-token cutoffs, stopword mining).
+
+    One explode + one map-side-combinable count; the shuffle carries
+    (token, partial count) pairs. Skewed head tokens ('the') are exactly
+    the map-side-combine case: each map task emits one row per distinct
+    token, so the reduce side sees at most n_partitions rows per token.
+    Normalization matches ``shingles``/``repetition_stats`` (lowercase,
+    whitespace-collapsed) so vocabularies line up across operators.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(F.trim(F.lower(F.regexp_replace(c, r"\s+", " "))), " ")
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: sha256 over the
     whitespace/case-normalized text — the content identity used by exact

@@ -338,6 +338,49 @@ def test_ivf_assign_null_and_empty_vectors(spark):
     assert got[3] is None and got[4] is None
 
 
+def test_chunk_documents_packing(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, None)],
+        "doc_id long, text string",
+    )
+    # disjoint chunks of 4: doc 1 -> 3 chunks (4, 4, 2 tokens)
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, chunk_tokens=4).collect()
+    }
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w4 w5 w6 w7", 4)
+    assert got[(1, 2)] == ("w8 w9", 2)
+    assert got[(2, 0)] == ("a b", 2)
+    assert (3, 0) in got  # null text -> one empty-ish chunk, not a dropped doc
+    # overlapping windows: chunk 4, stride 2 -> starts 0,2,4,6,8
+    ov = {
+        r.chunk_id: r.chunk_text
+        for r in chunk_documents(df.filter("doc_id = 1"), chunk_tokens=4, stride=2).collect()
+    }
+    assert ov[0] == "w0 w1 w2 w3" and ov[1] == "w2 w3 w4 w5" and ov[4] == "w8 w9"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+
+
+def test_token_frequencies(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import token_frequencies
+
+    df = spark.createDataFrame(
+        [(1, "the cat and The dog"), (2, "the bird"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r.token: r["count"] for r in token_frequencies(df).collect()}
+    assert got["the"] == 3  # case-folded
+    assert got["cat"] == 1 and "" not in got
+    cut = {r.token for r in token_frequencies(df, min_count=3).collect()}
+    assert cut == {"the"}
+
+
 def test_shingles_col_reuse_is_equivalent(spark, docs):
     # the pipeline-composition hook: consuming a precomputed shingle-array
     # column must be row-identical to rebuilding the grams from text

@@ -65,6 +65,17 @@ def test_scrub_pii_is_zero_shuffle_projection(spark):
     assert plan.lstrip().startswith("*(1)"), plan.splitlines()[0]
 
 
+def test_chunk_documents_is_zero_shuffle_fanout(spark):
+    # sequence packing is a pure projection + explode: no Exchange, no
+    # Python — chunks of a doc stay in the doc's partition
+    from smartlogic_concordance_transformer_spark.datapipe import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(chunk_documents(docs, chunk_tokens=32, stride=24))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
 def test_simhash_is_zero_shuffle(spark):
     # the simhash kernel's design claim: tokens are hashed in-row
     # (transform + xxhash64) and the bit-vote is one Arrow exchange —
