@@ -1083,6 +1083,68 @@ import functools
 
 
 @functools.lru_cache(maxsize=1)
+def _factset_uuid_oracle() -> str | None:
+    """Precomputed-literal oracle for the FACTSET double-MD5 kernel.
+    DuckDB 1.0 md5/sha256 accept VARCHAR only (re-verified: no BLOB
+    overload), so the inner raw-digest hash is not SQL-expressible —
+    instead the expected rows are computed here with hashlib (an
+    implementation INDEPENDENT of the engine's native md5/unhex/translate
+    expression chain) from the same parquet the driver registers, and
+    emitted as a VALUES table. A reference golden
+    (handlers_test.go 012345-E) guards the Python spec itself."""
+    import pyarrow.parquet as pq
+
+    from smartlogic_concordance_transformer_spark.uuids import ft_factset_uuid_py
+
+    assert ft_factset_uuid_py("012345-E") == "949a7e7f-2516-30c0-9123-f866601ffbe4"
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    import hashlib
+
+    doc_ids = sorted(pq.read_table(path, columns=["doc_id"]).column("doc_id").to_pylist())
+    rows = []
+    for d in doc_ids:
+        fid = "0" + hashlib.md5(str(d).encode()).hexdigest()[:5].upper() + "-E"
+        rows.append(f"({d}, '{ft_factset_uuid_py(fid)}')")
+    return (
+        "select cast(doc_id as bigint) as doc_id, factset_uuid from (values "
+        + ", ".join(rows)
+        + ") as t(doc_id, factset_uuid)"
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _multimodal_oracle() -> str | None:
+    """Precomputed-literal oracle for the multimodal feature query: the
+    deterministic fake decoder is sha256-of-payload, which DuckDB cannot
+    hash (BLOB), so expected rows are computed with hashlib directly
+    (independent of the engine's mapInPandas decoder) from the same
+    parquet and emitted as a VALUES table. Float ops mirror the engine's
+    ops exactly ((h[0]/255)*255 rounded), so b0 is bit-deterministic."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for d, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        h = hashlib.sha256((txt or "").encode("utf-8")).digest()
+        b0 = int(round((h[0] / 255.0) * 255.0))
+        rows.append(f"({d}, '{kinds[d % 3]}', 8, {b0})")
+    return (
+        "select cast(media_id as bigint) as media_id, kind, "
+        "cast(dim as int) as dim, cast(b0 as int) as b0 from (values "
+        + ", ".join(rows)
+        + ") as t(media_id, kind, dim, b0)"
+    )
+
+
+@functools.lru_cache(maxsize=1)
 def _sim_ivf_oracle() -> str | None:
     """Full-value oracle for IVF ANN. The iterative k-means isn't SQL, but
     it IS bit-deterministic: the training matrix is a deterministic
@@ -1759,10 +1821,16 @@ def oracle_sql() -> dict[str, str]:
           from events group by event_type
         """,
     }
-    # the IVF oracle needs the sf0.01 parquet to retrain its centroid
-    # literals; where that data is absent the query degrades to the
-    # driver's rows-only check instead of breaking oracle_sql() entirely
-    ivf = _sim_ivf_oracle()
-    if ivf is not None:
-        oracles["sim_ivf"] = ivf
+    # these three oracles precompute literals from the sf0.01 parquet
+    # (the scale the driver's correctness gate runs at); where that data
+    # is absent the queries degrade to the driver's rows-only check
+    # instead of breaking oracle_sql() entirely
+    for name, builder in (
+        ("sim_ivf", _sim_ivf_oracle),
+        ("kg_uuid_factset", _factset_uuid_oracle),
+        ("multimodal_features", _multimodal_oracle),
+    ):
+        sql = builder()
+        if sql is not None:
+            oracles[name] = sql
     return oracles

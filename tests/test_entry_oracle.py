@@ -70,16 +70,13 @@ def test_every_query_has_oracle_or_reason():
     qs = set(entry.queries())
     os_ = set(entry.oracle_sql())
     assert os_ <= qs
-    # rows-only queries must be the genuinely non-SQL-expressible ones:
-    # the double-MD5 kernel (DuckDB md5 is VARCHAR-only) and the
-    # sha256-of-BLOB fake media decoder (DuckDB 1.0 sha256/md5 accept
-    # VARCHAR only — verified, no BLOB overload). dedup_simhash became
-    # oracle-checkable in round 4 via the portable md5 token hash;
-    # sim_ivf via deterministic training + centroid literals.
-    assert qs - os_ == {
-        "kg_uuid_factset",
-        "multimodal_features",
-    }
+    # since round 4 EVERY query is oracle-checked: dedup_simhash via the
+    # portable md5 token hash, sim_ivf via deterministic training +
+    # centroid literals, and kg_uuid_factset / multimodal_features via
+    # precomputed-literal VALUES tables built with hashlib (independent
+    # of the engine's expression/UDF paths; DuckDB 1.0 cannot hash BLOBs
+    # so the raw-digest steps are not SQL-expressible directly).
+    assert qs - os_ == set()
 
 
 def test_entry_smoke(spark):
