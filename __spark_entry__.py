@@ -1717,7 +1717,7 @@ def oracle_sql() -> dict[str, str]:
         "text_chunks": """
           with t as (
             select doc_id,
-                   string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') as toks
+                   string_split(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ') as toks
             from documents),
           c as (select doc_id, toks,
                        unnest(range(greatest((len(toks) + 23) // 24, 1))) as cid

@@ -164,7 +164,10 @@ def pretraining_pipeline(
         .localCheckpoint(eager=False)
     )
     drops_con = _drop(s3.join(flagged, key_col, "left_semi"), key_col, "contaminated")
-    s4 = s3.join(flagged, key_col, "left_anti")
+    # decontamination is the last consumer of clean/_sh — carry only the
+    # columns mix/split read, so the mix barrier persists keys+strata,
+    # not per-doc text and shingle arrays
+    s4 = s3.join(flagged, key_col, "left_anti").select(key_col, strata_col)
 
     # -- pretraining mix (per-stratum deterministic downsample)
     kept_mix = stratified_sample(

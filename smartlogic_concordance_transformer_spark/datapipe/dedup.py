@@ -46,10 +46,12 @@ def shingles(
     word_grams: k-word shingles over whitespace tokens (robust to
     formatting); otherwise character k-grams.
     """
+    from .text import ws_tokens
+
     c = F.col(text) if isinstance(text, str) else text
     norm = F.lower(F.regexp_replace(c, r"\s+", " "))
     if word_grams:
-        toks = F.split(F.trim(norm), " ")
+        toks = ws_tokens(c)
         n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
         grams = F.transform(
             F.sequence(F.lit(0), n - 1),
@@ -208,10 +210,11 @@ def simhash(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    from .text import ws_tokens
+
     if token_hash is None:
         token_hash = lambda t: F.xxhash64(t)  # noqa: E731 — default fast path
-    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
-    hashes = F.transform(toks, token_hash)
+    hashes = F.transform(ws_tokens(text_col), token_hash)
 
     # no type hints: `from __future__ import annotations` stringifies them,
     # which pandas_udf hint-inference can't resolve for local closures

@@ -23,6 +23,19 @@ def _tokens(text: Column | str) -> Column:
     return F.split(F.lower(F.trim(F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " "))), r"\s+")
 
 
+def ws_tokens(text: Column | str, lowercase: bool = True) -> Column:
+    """THE whitespace tokenizer: collapse runs of whitespace, trim, split
+    on single spaces. Shared by shingles/simhash (dedup), repetition
+    stats, chunking, and vocabulary so normalization cannot drift between
+    operators — vocabulary entries, shingle grams, and chunk boundaries
+    all agree by construction, not by copy-paste."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(c, r"\s+", " ")
+    if lowercase:
+        norm = F.lower(norm)
+    return F.split(F.trim(norm), " ")
+
+
 def token_count(text: Column | str, bpe_like: bool = False) -> Column:
     """Whitespace token count; bpe_like additionally splits punctuation
     and camelCase-ish boundaries (a cheap BPE proxy: count of regex
@@ -164,7 +177,7 @@ def repetition_stats(
     from .dedup import shingles
 
     c = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.split(F.trim(F.lower(F.regexp_replace(c, r"\s+", " "))), " ")
+    words = ws_tokens(c)
     lines = F.filter(
         F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != ""
     )
@@ -244,11 +257,14 @@ def chunk_documents(
 
     Returns (key, chunk_id, chunk_text, n_tokens).
     """
-    stride = stride or chunk_tokens
+    if stride is None:
+        stride = chunk_tokens
+    # explicit None-check above: `stride or chunk_tokens` would silently
+    # coerce stride=0 past this guard into disjoint chunking
     if chunk_tokens <= 0 or stride <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     c = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.split(F.trim(F.regexp_replace(c, r"\s+", " ")), " ")
+    toks = ws_tokens(c, lowercase=False)
     n_chunks = F.greatest(
         F.expr(f"(size(_toks) + {stride - 1}) div {stride}").cast("int"), F.lit(1)
     )
@@ -282,9 +298,8 @@ def token_frequencies(
     whitespace-collapsed) so vocabularies line up across operators.
     """
     c = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.split(F.trim(F.lower(F.regexp_replace(c, r"\s+", " "))), " ")
     return (
-        df.select(F.explode(toks).alias("token"))
+        df.select(F.explode(ws_tokens(c)).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))

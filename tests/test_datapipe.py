@@ -365,6 +365,9 @@ def test_chunk_documents_packing(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        # stride=0 must raise, not silently coerce to disjoint chunks
+        chunk_documents(df, chunk_tokens=4, stride=0)
 
 
 def test_token_frequencies(spark):
