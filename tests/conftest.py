@@ -3,6 +3,12 @@ import pytest
 from smartlogic_concordance_transformer_spark.session import get_spark
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running property/scale tests (run by default)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="pytest", master="local[4]", shuffle_partitions=8)

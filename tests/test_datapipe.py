@@ -370,6 +370,20 @@ def test_chunk_documents_packing(spark):
         chunk_documents(df, chunk_tokens=4, stride=0)
 
 
+def test_chunk_documents_disjoint_is_lossless(docs):
+    # packing with stride == chunk must reconstruct the normalized text
+    from smartlogic_concordance_transformer_spark.datapipe import chunk_documents
+
+    out = chunk_documents(docs, chunk_tokens=7).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    originals = {r.doc_id: " ".join(r.text.split()) for r in docs.collect()}
+    for doc_id, chunks in by_doc.items():
+        rebuilt = " ".join(t for _, t in sorted(chunks))
+        assert rebuilt == originals[doc_id]
+
+
 def test_token_frequencies(spark):
     from smartlogic_concordance_transformer_spark.datapipe import token_frequencies
 
