@@ -52,6 +52,13 @@ from smartlogic_concordance_transformer_spark.uuids import (
 
 DEFAULT_SF = "/root/testdata/sf0.001"
 
+# The driver's correctness gate always runs oracle_sql() against sf0.01;
+# three oracles precompute literal VALUES tables from that parquet and must
+# read the same files the gate registers. Overridable for machines where
+# the test data lives elsewhere; when the parquet is absent those oracles
+# degrade to the driver's rows-only check (builders return None).
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
 _SHIPPED_APPS: set[str] = set()
 
 
@@ -973,24 +980,36 @@ _TOKENS_D = (
 def _langid_oracle() -> str:
     # mirrors detect_language's two stages: RE2 spells Unicode script
     # classes \p{Han} where Java spells \p{IsHan} — same character sets
+    from smartlogic_concordance_transformer_spark.datapipe.text import SCRIPT_LANGS
+
     hits = {
         lang: f"len(list_intersect(list_distinct({_TOKENS_D}), "
         f"[{', '.join(repr(w) for w in words)}]))"
         for lang, words in STOPWORDS.items()
     }
     best = f"greatest({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']})"
+    script_counts = ",\n          ".join(
+        f"length(regexp_replace(text, '[^\\p{{{script}}}]', '', 'g')) as n_{lang}"
+        for script, lang in SCRIPT_LANGS
+    )
+    script_cases = "\n             ".join(
+        f"when n_{lang} * 5 >= greatest(length(text), 1) then '{lang}'"
+        for _, lang in SCRIPT_LANGS
+    )
     return f"""
       with s as (
         select doc_id, text,
           length(regexp_replace(text, '[^\\p{{Hiragana}}\\p{{Katakana}}]', '', 'g')) as n_kana,
           length(regexp_replace(text, '[^\\p{{Hangul}}]', '', 'g')) as n_hangul,
-          length(regexp_replace(text, '[^\\p{{Han}}]', '', 'g')) as n_han
+          length(regexp_replace(text, '[^\\p{{Han}}]', '', 'g')) as n_han,
+          {script_counts}
         from documents),
       c as (select *, (n_kana + n_hangul + n_han) * 5 >= greatest(length(text), 1) as cjk from s)
       select doc_id,
         case when cjk and n_kana > 0 then 'ja'
              when cjk and n_hangul > 0 then 'ko'
              when cjk and n_han > 0 then 'zh'
+             {script_cases}
              when {best} = 0 then 'und'
              when {hits['en']} = {best} then 'en'
              when {hits['de']} = {best} then 'de'
@@ -1097,7 +1116,7 @@ def _factset_uuid_oracle() -> str | None:
     from smartlogic_concordance_transformer_spark.uuids import ft_factset_uuid_py
 
     assert ft_factset_uuid_py("012345-E") == "949a7e7f-2516-30c0-9123-f866601ffbe4"
-    path = "/root/testdata/sf0.01/documents.parquet"
+    path = os.path.join(ORACLE_SF_DIR, "documents.parquet")
     if not os.path.exists(path):
         return None
     import hashlib
@@ -1126,7 +1145,7 @@ def _multimodal_oracle() -> str | None:
 
     import pyarrow.parquet as pq
 
-    path = "/root/testdata/sf0.01/documents.parquet"
+    path = os.path.join(ORACLE_SF_DIR, "documents.parquet")
     if not os.path.exists(path):
         return None
     t = pq.read_table(path, columns=["doc_id", "text"])
@@ -1171,11 +1190,10 @@ def _sim_ivf_oracle() -> str | None:
         lloyd_kmeans,
     )
 
-    if not os.path.exists("/root/testdata/sf0.01/embeddings.parquet"):
+    path = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(path):
         return None
-    t = pq.read_table(
-        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
     vec_ids = np.asarray(t.column("vec_id"))
     embs = np.asarray(t.column("embedding").to_pylist(), dtype="float64")
     order = np.argsort(vec_ids, kind="stable")

@@ -51,29 +51,45 @@ def token_count(text: Column | str, bpe_like: bool = False) -> Column:
     return F.size(F.split(F.trim(c), r"\s+"))
 
 
+# Single-script language families resolvable by character counts alone:
+# Unicode script class (Java spells \p{IsX}, RE2 spells \p{X} — same
+# character sets) -> language code. Checked after the CJK branch, in this
+# order (deterministic for mixed-script text).
+SCRIPT_LANGS: list[tuple[str, str]] = [
+    ("Cyrillic", "ru"),
+    ("Arabic", "ar"),
+    ("Devanagari", "hi"),
+    ("Thai", "th"),
+]
+
+
 def detect_language(text: Column | str) -> Column:
     """Two-stage language ID, one pass, no UDF.
 
     Stage 1 — script ranges: whitespace tokenization yields nothing to
-    match for CJK text, so count Hiragana/Katakana, Hangul, and Han
-    characters first (native regexp_replace strip + length; Java and RE2
-    both support Unicode script classes, spelled ``\\p{IsHan}`` vs
+    match for CJK (and little for other non-Latin scripts), so count
+    script characters first (native ``regexp_count``; Java and RE2 both
+    support Unicode script classes, spelled ``\\p{IsHan}`` vs
     ``\\p{Han}``). When CJK characters make up >= 20% of the text the
-    doc is ja (any kana), ko (else any hangul), or zh (han only) — all
-    integer comparisons, so any engine reproduces the decision exactly.
+    doc is ja (any kana), ko (else any hangul), or zh (han only); else
+    the first ``SCRIPT_LANGS`` script at >= 20% wins (Cyrillic -> ru,
+    Arabic -> ar, Devanagari -> hi, Thai -> th — the script IDs real
+    web-crawl volume that a stopword table can't reach). All integer
+    comparisons, so any engine reproduces the decision exactly.
 
     Stage 2 — argmax over stopword-hit counts for the Latin-script
     languages; 'und' (undetermined) when nothing hits.
     """
     c = F.col(text) if isinstance(text, str) else text
     n_chars = F.length(c)
+    floor = F.greatest(n_chars, F.lit(1))
     # regexp_count of a single-char class == chars of that script; 2x
     # cheaper than the regexp_replace-strip + length form (no rebuilt
     # string per pass, measured on the bench corpus)
     n_kana = F.regexp_count(c, F.lit(r"[\p{IsHiragana}\p{IsKatakana}]"))
     n_hangul = F.regexp_count(c, F.lit(r"[\p{IsHangul}]"))
     n_han = F.regexp_count(c, F.lit(r"[\p{IsHan}]"))
-    cjk = (n_kana + n_hangul + n_han) * 5 >= F.greatest(n_chars, F.lit(1))
+    cjk = (n_kana + n_hangul + n_han) * 5 >= floor
 
     toks = F.array_distinct(_tokens(c))
     scores = [
@@ -85,12 +101,15 @@ def detect_language(text: Column | str) -> Column:
     # reversed so earlier dict entries win ties (deterministic)
     for lang, s in reversed(scores):
         out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
-    return (
+    decision = (
         F.when(cjk & (n_kana > 0), F.lit("ja"))
         .when(cjk & (n_hangul > 0), F.lit("ko"))
         .when(cjk & (n_han > 0), F.lit("zh"))
-        .otherwise(out)
     )
+    for script, lang in SCRIPT_LANGS:
+        n_s = F.regexp_count(c, F.lit(rf"[\p{{Is{script}}}]"))
+        decision = decision.when(n_s * 5 >= floor, F.lit(lang))
+    return decision.otherwise(out)
 
 
 def quality_score(text: Column | str) -> Column:
@@ -263,6 +282,13 @@ def chunk_documents(
     # coerce stride=0 past this guard into disjoint chunking
     if chunk_tokens <= 0 or stride <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # gap windows would silently DROP the tokens between consecutive
+        # chunks — caller error in a packing operator, never intended
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) would skip "
+            "tokens between chunks; use stride <= chunk_tokens"
+        )
     c = F.coalesce(F.col(text_col), F.lit(""))
     toks = ws_tokens(c, lowercase=False)
     n_chunks = F.greatest(

@@ -315,6 +315,26 @@ def test_langid_cjk_scripts(spark):
     assert got[4] == "en" and got[5] == "en" and got[6] == "ja"
 
 
+def test_langid_other_script_families(spark):
+    rows = [
+        (1, "это довольно длинный русский текст для проверки"),
+        (2, "هذا نص عربي طويل بما يكفي للاختبار"),
+        (3, "यह परीक्षण के लिए एक लंबा हिंदी वाक्य है"),
+        (4, "นี่คือข้อความภาษาไทยที่ยาวพอสำหรับการทดสอบ"),
+        # one stray Cyrillic char in English must NOT flip the branch
+        (5, "the cat sat on the mat and it was good for д"),
+        # CJK wins over a Cyrillic minority when both are present
+        (6, "这是一段比较长的中文文本内容 привет"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.pred
+        for r in df.select("doc_id", detect_language("text").alias("pred")).collect()
+    }
+    assert got[1] == "ru" and got[2] == "ar" and got[3] == "hi" and got[4] == "th"
+    assert got[5] == "en" and got[6] == "zh"
+
+
 def test_simhash_md5_token_hash_variant(docs):
     from smartlogic_concordance_transformer_spark.datapipe.dedup import md5_token_hash
 
@@ -368,6 +388,9 @@ def test_chunk_documents_packing(spark):
     with _pytest.raises(ValueError):
         # stride=0 must raise, not silently coerce to disjoint chunks
         chunk_documents(df, chunk_tokens=4, stride=0)
+    with _pytest.raises(ValueError, match="skip"):
+        # stride > chunk would produce gap windows that DROP tokens
+        chunk_documents(df, chunk_tokens=4, stride=5)
 
 
 def test_chunk_documents_disjoint_is_lossless(docs):
