@@ -476,15 +476,22 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
 
 
+_REP_TOP_NS = (2, 3, 4)
+_REP_CHAR_NS = (5, 6, 7, 8, 9, 10)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-style repetition filter inputs (full Rae et al. 2021 A1 set):
     # duplicate word/line/paragraph fractions (in-row) + top-{2,3,4}-gram
-    # fractions (ONE tagged explode -> two map-side-combinable aggs).
+    # fractions + duplicate-{5..10}-gram CHARACTER fractions (ONE tagged
+    # explode -> two map-side-combinable aggs for all nine gram sizes).
     # Counts are exact integers, divisions are int/int -> identical IEEE
     # doubles across engines.
     from smartlogic_concordance_transformer_spark.datapipe.text import repetition_stats
 
-    return repetition_stats(_spread(spark, _docs(spark, sf_dir)))
+    return repetition_stats(
+        _spread(spark, _docs(spark, sf_dir)), ns=_REP_TOP_NS, char_dup_ns=_REP_CHAR_NS
+    )
 
 
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1251,6 +1258,66 @@ def _sim_ivf_oracle() -> str | None:
     """
 
 
+def _repetition_oracle() -> str:
+    """text_repetition oracle: per-n gram CTEs mirror ``shingles``
+    (word grams, non-distinct, short docs -> one truncated gram); tops
+    are max/sum of counts, char-dup fractions are the gram-length-
+    weighted integer sums from repetition_stats' docstring."""
+    all_ns = sorted(set(_REP_TOP_NS) | set(_REP_CHAR_NS))
+    g_ctes = [
+        f"""g{n} as (select doc_id, unnest(list_transform(range(greatest(len(words) - {n - 1}, 1)),
+               i -> array_to_string(words[i+1:i+{n}], ' '))) as g from f),
+          k{n} as (select doc_id, g, count(*) as c from g{n} group by 1, 2)"""
+        for n in all_ns
+    ]
+    t_ctes = [
+        f"t{n} as (select doc_id, round(max(c) * 1.0 / sum(c), 6) as top_{n}gram_frac "
+        f"from k{n} group by doc_id)"
+        for n in _REP_TOP_NS
+    ]
+    c_ctes = [
+        f"c{n} as (select doc_id, round(coalesce(sum(case when c > 1 then (c - 1) * length(g) end), 0) "
+        f"* 1.0 / sum(c * length(g)), 6) as dup_{n}gram_char_frac from k{n} group by doc_id)"
+        for n in _REP_CHAR_NS
+    ]
+    joins = " ".join(
+        [f"join t{n} using (doc_id)" for n in _REP_TOP_NS]
+        + [f"join c{n} using (doc_id)" for n in _REP_CHAR_NS]
+    )
+    cols = ", ".join(
+        [f"top_{n}gram_frac" for n in _REP_TOP_NS]
+        + [f"dup_{n}gram_char_frac" for n in _REP_CHAR_NS]
+    )
+    sep = ",\n          "
+    gram_block = sep.join(g_ctes)
+    top_block = sep.join(t_ctes)
+    char_block = sep.join(c_ctes)
+    return f"""
+          with w as (
+            select doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as words,
+                   list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                               x -> x <> '') as lines,
+                   list_filter(list_transform(string_split(text, chr(10) || chr(10)), x -> trim(x)),
+                               x -> x <> '') as paras
+            from documents),
+          f as (
+            select doc_id, words,
+                   round((len(words) - len(list_distinct(words))) * 1.0
+                         / greatest(len(words), 1), 6) as dup_word_frac,
+                   round((len(lines) - len(list_distinct(lines))) * 1.0
+                         / greatest(len(lines), 1), 6) as dup_line_frac,
+                   round((len(paras) - len(list_distinct(paras))) * 1.0
+                         / greatest(len(paras), 1), 6) as dup_para_frac
+            from w),
+          {gram_block},
+          {top_block},
+          {char_block}
+          select f.doc_id, dup_word_frac, dup_line_frac, dup_para_frac, {cols}
+          from f {joins}
+    """
+
+
 def _pii_chain(expr: str) -> str:
     for pat, repl in PII_PATTERNS:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
@@ -1605,40 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": (
             "select doc_id, sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as fp from documents"
         ),
-        "text_repetition": """
-          with w as (
-            select doc_id,
-                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as words,
-                   list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
-                               x -> x <> '') as lines,
-                   list_filter(list_transform(string_split(text, chr(10) || chr(10)), x -> trim(x)),
-                               x -> x <> '') as paras
-            from documents),
-          f as (
-            select doc_id, words,
-                   round((len(words) - len(list_distinct(words))) * 1.0
-                         / greatest(len(words), 1), 6) as dup_word_frac,
-                   round((len(lines) - len(list_distinct(lines))) * 1.0
-                         / greatest(len(lines), 1), 6) as dup_line_frac,
-                   round((len(paras) - len(list_distinct(paras))) * 1.0
-                         / greatest(len(paras), 1), 6) as dup_para_frac
-            from w),
-          g2 as (select doc_id, unnest(list_transform(range(greatest(len(words) - 1, 1)),
-                        i -> array_to_string(words[i+1:i+2], ' '))) as g from f),
-          g3 as (select doc_id, unnest(list_transform(range(greatest(len(words) - 2, 1)),
-                        i -> array_to_string(words[i+1:i+3], ' '))) as g from f),
-          g4 as (select doc_id, unnest(list_transform(range(greatest(len(words) - 3, 1)),
-                        i -> array_to_string(words[i+1:i+4], ' '))) as g from f),
-          t2 as (select doc_id, round(max(c) * 1.0 / sum(c), 6) as top_2gram_frac from
-                 (select doc_id, g, count(*) as c from g2 group by 1, 2) group by doc_id),
-          t3 as (select doc_id, round(max(c) * 1.0 / sum(c), 6) as top_3gram_frac from
-                 (select doc_id, g, count(*) as c from g3 group by 1, 2) group by doc_id),
-          t4 as (select doc_id, round(max(c) * 1.0 / sum(c), 6) as top_4gram_frac from
-                 (select doc_id, g, count(*) as c from g4 group by 1, 2) group by doc_id)
-          select f.doc_id, dup_word_frac, dup_line_frac, dup_para_frac,
-                 top_2gram_frac, top_3gram_frac, top_4gram_frac
-          from f join t2 using (doc_id) join t3 using (doc_id) join t4 using (doc_id)
-        """,
+        "text_repetition": _repetition_oracle(),
         "text_decontaminate": """
           with base as (
             select doc_id,

@@ -172,26 +172,43 @@ def repetition_stats(
     text_col: str = "text",
     key_col: str = "doc_id",
     ns: tuple[int, ...] = (2, 3, 4),
+    char_dup_ns: tuple[int, ...] = (),
 ) -> DataFrame:
     """Gopher-style repetition filter inputs (Rae et al. 2021, app. A1):
     per document, the duplicate-word / duplicate-line / duplicate-
     paragraph fractions plus, for each n in ``ns``, the fraction of all
-    word n-grams taken by the single most frequent n-gram. High values
-    flag boilerplate/spam/keyword-stuffed documents before pretraining.
+    word n-grams taken by the single most frequent n-gram, plus, for
+    each n in ``char_dup_ns``, the fraction of characters in DUPLICATED
+    n-grams (the second half of the A1 table, conventionally n=5..10).
+    High values flag boilerplate/spam/keyword-stuffed documents before
+    pretraining.
+
+    The char-duplicate fraction weights gram counts by gram character
+    length (the explode-friendly form of "characters in duplicated
+    n-grams"): occurrences beyond the first of each gram count as
+    duplicated, so
+
+        dup_{n}gram_char_frac =
+            sum_{g: c_g > 1} (c_g - 1) * chars(g) / sum_g c_g * chars(g)
+
+    — exact integer counts, 0 for documents with no repeated n-gram, 1
+    is approached by a document that is one phrase repeated.
 
     Plan: ONE corpus scan, zero joins, regardless of how many gram sizes
     are requested — the n-gram streams are tagged with their size and
     concatenated in-row, so a single explode feeds one (key, n, gram)
-    count and one conditional max/sum per size. The three duplicate
-    fractions are in-row array math riding through the explode as
-    grouping keys. Both aggregations partially aggregate map-side;
-    payloads are counts. Grams come from the same ``shingles`` builder
-    the dedup/decontamination operators use (``distinct=False``), so
-    gram semantics cannot drift between operators. Null text is treated
-    as '' (one defined-stats row per input doc, not silent omission).
+    count and one conditional agg per output column. A size appearing in
+    both ``ns`` and ``char_dup_ns`` is exploded once and feeds both
+    columns. The three duplicate fractions are in-row array math riding
+    through the explode as grouping keys. Both aggregations partially
+    aggregate map-side; payloads are counts. Grams come from the same
+    ``shingles`` builder the dedup/decontamination operators use
+    (``distinct=False``), so gram semantics cannot drift between
+    operators. Null text is treated as '' (one defined-stats row per
+    input doc, not silent omission).
 
     Returns (key, dup_word_frac, dup_line_frac, dup_para_frac,
-    top_{n}gram_frac ...), all rounded to 6.
+    top_{n}gram_frac ..., dup_{n}gram_char_frac ...), all rounded to 6.
     """
     from .dedup import shingles
 
@@ -210,11 +227,12 @@ def repetition_stats(
     def _tag(size: int):
         return lambda g: F.struct(F.lit(size).alias("n"), g.alias("g"))
 
+    all_ns = sorted(set(ns) | set(char_dup_ns))
     tagged = F.flatten(
         F.array(
             *[
                 F.transform(shingles(c, k=n, word_grams=True, distinct=False), _tag(n))
-                for n in ns
+                for n in all_ns
             ]
         )
     )
@@ -241,11 +259,31 @@ def repetition_stats(
         ).alias(f"top_{n}gram_frac")
         for n in ns
     ]
+    # gram char length read off the gram string itself — no extra column
+    # threads through the explode; (c-1)*len numerator / c*len denominator
+    # are exact integer sums
+    gl = F.length(F.col("_g"))
+    char_dups = [
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("_n") == n) & (F.col("_c") > 1),
+                        (F.col("_c") - F.lit(1)) * gl,
+                    )
+                ),
+                F.lit(0),
+            )
+            / F.sum(F.when(F.col("_n") == n, F.col("_c") * gl)),
+            6,
+        ).alias(f"dup_{n}gram_char_frac")
+        for n in char_dup_ns
+    ]
     return (
         exploded.groupBy(key_col, *fracs, "_n", "_g")
         .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy(key_col, *fracs)
-        .agg(*tops)
+        .agg(*tops, *char_dups)
     )
 
 

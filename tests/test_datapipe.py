@@ -248,6 +248,32 @@ def test_repetition_stats(spark):
     assert got[3].top_4gram_frac == round(2 / 3, 6)
 
 
+def test_repetition_char_dup_fractions(spark):
+    # Gopher A1 second half: fraction of characters in duplicated n-grams,
+    # weighted form (c-1)*chars(g) / sum c*chars(g) — hand-computed goldens
+    from smartlogic_concordance_transformer_spark.datapipe import repetition_stats
+
+    rows = [
+        # 5-grams: "a b c d e" x2 (9 chars), five singles (9 chars each)
+        # -> (2-1)*9 / (2*9 + 5*9) = 9/63
+        (1, "a b c d e a b c d e x"),
+        # all 5-grams distinct -> 0.0
+        (2, "p q r s t u v w"),
+        # 2-grams: "x y" x3, "y x" x2 -> ((3-1)+(2-1))*3 / (5*3) = 9/15
+        (3, "x y x y x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in repetition_stats(df, ns=(2,), char_dup_ns=(2, 5)).collect()
+    }
+    assert got[1].dup_5gram_char_frac == round(9 / 63, 6)
+    assert got[2].dup_5gram_char_frac == 0.0
+    assert got[3].dup_2gram_char_frac == 0.6
+    # a size in both ns and char_dup_ns feeds both columns from one stream
+    assert got[3].top_2gram_frac == 0.6
+
+
 def test_repetition_stats_lines_paras_and_null_text(spark):
     from smartlogic_concordance_transformer_spark.datapipe import repetition_stats
 
