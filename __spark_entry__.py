@@ -546,11 +546,12 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documents table wrapped with a global cookie banner, a per-doc PII
     # line, and a per-source footer; the "eval set" is the ORIGINAL text
     # of every 50th doc, so leaked eval docs must be caught on their
-    # CLEANED text. Thresholds sit in measured empty bands of the
-    # corpus distributions (quality values are exact quarters; the
-    # jaccard band 0.35-0.9 is empty post-clean, so the banded-LSH
-    # candidate set reproduces the oracle's all-pairs rows — same
-    # argument as dedup_lsh_verified, documented in docs/COVERAGE.md).
+    # CLEANED text. Thresholds sit in measured safe zones of the corpus
+    # distributions (quality values are exact quarters; post-clean, every
+    # near-dedup-qualifying pair sits at j >= 0.85 and the fixed-seed
+    # 16x4 banding's candidate set covers ALL all-pairs qualifying pairs
+    # — asserted at run time by tests/test_oracle_preconditions.py, so a
+    # regenerated corpus fails with a clear message, not a hash diff).
     # The decontamination threshold is length-normalized (overlap_frac):
     # the scrubbed PII line is IDENTICAL across all docs, so absolute
     # overlap counts would flag everything — the exact failure mode the
@@ -559,6 +560,15 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         pretraining_pipeline,
     )
 
+    raw, bench = _pipeline_raw(spark, sf_dir)
+    out = pretraining_pipeline(raw, bench, mix_fractions={"src0": 64, "src1": 128})
+    return out.select("doc_id", "kept", "stage", "split")
+
+
+def _pipeline_raw(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The pipeline_e2e input corpus (raw docs with planted failures +
+    benchmark frame) — shared by the contract query and the oracle-
+    precondition tests so both see the identical construction."""
     d = _spread(spark, _docs(spark, sf_dir))
     # planted failures so every stage fires: every 40th doc gets an exact
     # content twin whose PII line DIFFERS pre-scrub (different doc_id ->
@@ -600,8 +610,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     bench = d.filter(F.pmod("doc_id", 50) == 0).select("text")
-    out = pretraining_pipeline(raw, bench, mix_fractions={"src0": 64, "src1": 128})
-    return out.select("doc_id", "kept", "stage", "split")
+    return raw, bench
 
 
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,179 @@
+"""Runtime assertions for the CORPUS preconditions the engine-vs-oracle
+hash equality of three contract queries rests on (docs/COVERAGE.md).
+
+The oracles for dedup_jaccard / dedup_lsh_verified / pipeline_e2e are
+all-pairs while the engine is banded-LSH, and sim_ivf compares BLAS
+reductions against DuckDB's sequential inner products — both equalities
+are properties of THIS test corpus. If /root/testdata is ever
+regenerated, these tests fail with a clear message naming the violated
+precondition instead of the contract tests failing with an opaque hash
+diff.
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = entry.ORACLE_SF_DIR
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF_DIR, "documents.parquet")),
+    reason="oracle corpus not present",
+)
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{os.path.join(SF_DIR, 'documents.parquet')}')"
+    )
+    return con
+
+
+def test_raw_corpus_jaccard_band_is_empty():
+    """dedup_jaccard (threshold 0.5) and dedup_lsh_verified (0.8) assume
+    every qualifying pair on the raw(+planted twins) corpus sits at
+    j >= 0.9, where the 16x4 banding cannot miss (per-pair miss
+    probability ~4e-8) — i.e. the band [0.35, 0.9) is EMPTY. Measured on
+    the shipped corpus: max below-band j = 0.067."""
+    row = _con().execute("""
+      with base as (select doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as toks from documents),
+      twin as (select doc_id + 100000 as doc_id,
+                      string_split(trim(regexp_replace(lower(text || ' zq'), '\\s+', ' ', 'g')), ' ') as toks
+               from documents where doc_id % 10 = 0),
+      allr as (select * from base union all select * from twin),
+      sets as (select doc_id, list_distinct(list_transform(range(greatest(len(toks)-2,1)),
+                      i -> array_to_string(toks[i+1:i+3], ' '))) as s from allr),
+      j as (select len(list_intersect(a.s, b.s)) * 1.0
+                     / len(list_distinct(list_concat(a.s, b.s))) as j
+            from sets a join sets b on a.doc_id < b.doc_id)
+      select count(*) filter (where j >= 0.35 and j < 0.9) as in_band,
+             max(case when j < 0.9 then j end) as max_below
+      from j
+    """).fetchone()
+    in_band, max_below = row
+    assert in_band == 0, (
+        f"ORACLE PRECONDITION VIOLATED: {in_band} pairs in the jaccard band "
+        f"[0.35, 0.9) on the raw corpus (max below-band j={max_below}); the "
+        "banded-LSH engine may now miss qualifying pairs the all-pairs "
+        "dedup_jaccard/dedup_lsh_verified oracles enumerate — regenerate the "
+        "corpus or re-derive the thresholds (docs/COVERAGE.md)"
+    )
+
+
+def test_pipeline_lsh_candidates_cover_qualifying_pairs(spark):
+    """pipeline_e2e's near-dedup (threshold 0.8, CLEANED text) does NOT
+    have an empty band — 8 qualifying pairs sit in [0.857, 0.898) on the
+    shipped corpus — so its engine=oracle equality rests on the stronger,
+    deterministic fact asserted here: the fixed-seed 16x4 MinHash banding
+    produces a candidate set that covers EVERY all-pairs qualifying pair
+    of the cleaned corpus. (The pipeline's s2 stage is a subset of the
+    cleaned corpus, so coverage here implies coverage there.)"""
+    from pyspark.sql import functions as F
+
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from smartlogic_concordance_transformer_spark.datapipe.hygiene import (
+        strip_boilerplate,
+    )
+    from smartlogic_concordance_transformer_spark.datapipe.text import scrub_pii
+
+    raw, _ = entry._pipeline_raw(spark, SF_DIR)
+    cleaned = strip_boilerplate(raw, min_docs=5).select(
+        "doc_id", scrub_pii(F.col("clean_text")).alias("text")
+    ).localCheckpoint(eager=False)
+
+    sigs = minhash_signatures(cleaned, num_hashes=64, k=3)
+    cand = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    cand_pairs = {(r.a, r.b) for r in cand.collect()}
+
+    # all-pairs qualifying set (test scale only — oracles don't scale)
+    ids = cleaned.select("doc_id")
+    all_pairs = (
+        ids.alias("x")
+        .crossJoin(ids.alias("y"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    qualifying = {
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(cleaned, all_pairs, k=3, threshold=0.8).collect()
+    }
+    assert qualifying, "expected planted near-dup pairs in the pipeline corpus"
+    missed = qualifying - cand_pairs
+    assert not missed, (
+        f"ORACLE PRECONDITION VIOLATED: banded LSH misses {len(missed)} "
+        f"qualifying pair(s) {sorted(missed)[:5]} of the cleaned pipeline "
+        "corpus; pipeline_e2e's engine (banded) would diverge from its "
+        "all-pairs oracle — regenerate the corpus or widen the banding"
+    )
+
+
+def test_sim_ivf_float_separation():
+    """sim_ivf's hash equality needs no two cell distances (per corpus
+    row), probe distances (per query), or rerank scores (per query) to be
+    within ~1 ulp — BLAS vs sequential summation could then order them
+    differently. Measured margins on the shipped corpus: min cell gap
+    3.2e-6, min probe gap 2.5e-4, min rerank score gap 9.2e-7; asserted
+    with >=100x headroom over the thresholds below."""
+    import pyarrow.parquet as pq
+
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        lloyd_kmeans,
+    )
+
+    path = os.path.join(SF_DIR, "embeddings.parquet")
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    vec_ids = np.asarray(t.column("vec_id"))
+    X = np.asarray(t.column("embedding").to_pylist(), dtype="float64")
+    order = np.argsort(vec_ids, kind="stable")
+    even = vec_ids[order] % 2 == 0
+    C = np.asarray(
+        lloyd_kmeans(
+            X[order][even][: entry._IVF_MAX_TRAIN],
+            k=entry._IVF_K,
+            iters=entry._IVF_ITERS,
+            seed=entry._IVF_SEED,
+        ),
+        dtype="float64",
+    )
+
+    # corpus-side cell assignment margins: ||c||^2 - 2 x.c per centroid
+    s = (C * C).sum(1)[None, :] - 2.0 * X @ C.T
+    ss = np.sort(s, axis=1)
+    cell_gap = float(np.diff(ss, axis=1).min())
+    assert cell_gap > 1e-8, (
+        f"ORACLE PRECONDITION VIOLATED: two IVF cell distances within "
+        f"{cell_gap:.2e} — sim_ivf assignment may tie-break differently "
+        "across engines (docs/COVERAGE.md)"
+    )
+
+    # query-side probe + rerank margins for the 5 contract queries
+    q = X[np.isin(vec_ids, [0, 1, 2, 3, 4])]
+    d = ((q[:, None, :] - C[None, :, :]) ** 2).sum(2)
+    probe_gap = float(np.diff(np.sort(d, axis=1), axis=1).min())
+    assert probe_gap > 1e-8, (
+        f"ORACLE PRECONDITION VIOLATED: two IVF probe distances within "
+        f"{probe_gap:.2e} — probe selection may differ across engines"
+    )
+
+    cells = s.argmin(1)
+    norms = np.linalg.norm(X, axis=1)
+    for qi in range(len(q)):
+        probes = np.argsort(d[qi])[:4]
+        mask = np.isin(cells, probes)
+        sc = np.sort((X[mask] @ q[qi]) / (norms[mask] * np.linalg.norm(q[qi])))
+        score_gap = float(np.diff(sc).min())
+        assert score_gap > 1e-9, (
+            f"ORACLE PRECONDITION VIOLATED: query {qi} has two rerank "
+            f"scores within {score_gap:.2e} — sim_ivf top-k order may "
+            "differ across engines"
+        )
