@@ -80,10 +80,17 @@ def flag_contaminated(
     # two-step select so the shingle array is built once per row and both
     # the size and the explode consume the same materialized column;
     # ``shingles_col`` skips the build entirely and reads a precomputed
-    # column (the pipeline-composition hook, see minhash_signatures)
+    # column (the pipeline-composition hook, see minhash_signatures).
+    # explode_OUTER, deliberately: for a plain (non-outer) Generate over a
+    # named array column, InferFiltersFromGenerate adds a size(arr)>0
+    # filter that is pushed below the upstream exchange — re-evaluating
+    # the whole shingle build a second time on the raw scan partitions
+    # (measured 4.1s -> 1.2s at sf0.1 from this one change). Outer
+    # generates get no inferred filter; the rows it would have dropped
+    # (null/empty arrays -> null _g) are dropped by the inner join anyway.
     src = F.col(shingles_col) if shingles_col else shingles(text_col, k)
     doc_g = df.select(key_col, src.alias("_sh")).select(
-        key_col, F.size("_sh").alias("_n_sh"), F.explode("_sh").alias("_g")
+        key_col, F.size("_sh").alias("_n_sh"), F.explode_outer("_sh").alias("_g")
     )
     return (
         doc_g.join(bench, "_g")
