@@ -57,6 +57,48 @@ def force(df):
     df.write.mode("overwrite").format("noop").save()
 
 
+def timed_pipeline_split(q, spark, sf_dir) -> dict:
+    """pipeline_e2e wall time split into driver-side plan compile vs
+    execution. The cascade's lazy localCheckpoint barriers each trigger
+    Catalyst + Janino whole-stage-codegen at CALL time (toRdd), so most
+    compile cost lands inside q() construction — measured by timing the
+    localCheckpoint calls themselves (pyspark.sql.classic.dataframe is
+    the class instances actually use in Spark 4, not the pyspark.sql
+    facade) plus the final segment's toRdd. exec_sec is everything else:
+    the checkpointed stages' materialization + final-segment run — the
+    number that scales with data (the 100 TB-relevant path); compile_sec
+    is a per-JOB constant that amortizes to zero at real scale."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    compile_acc = [0.0]
+    orig = cdf.DataFrame.localCheckpoint
+
+    def timed(self, eager=True):
+        t = time.time()
+        out = orig(self, eager=eager)
+        compile_acc[0] += time.time() - t
+        return out
+
+    cdf.DataFrame.localCheckpoint = timed
+    try:
+        t0 = time.time()
+        df = q(spark, sf_dir)
+        t_rdd = time.time()
+        df._jdf.queryExecution().toRdd()
+        t1 = time.time()
+        force(df)
+        t2 = time.time()
+    finally:
+        cdf.DataFrame.localCheckpoint = orig
+    total = round(t2 - t0, 3)
+    compile_sec = round(compile_acc[0] + (t1 - t_rdd), 3)
+    return {
+        "total_sec": total,
+        "compile_sec": compile_sec,
+        "exec_sec": round(total - compile_sec, 3),
+    }
+
+
 def kg_scale_run(spark, n_docs: int, reps: int = 3) -> dict:
     """Generated-scale KG pipeline: source -> transform -> triples.
 
@@ -149,7 +191,17 @@ def main() -> dict:
     kg = kg_scale_run(spark, n_docs)
     log(f"  kg_scale({n_docs} docs): {kg['wall_sec']}s -> {kg['triples_per_sec']} triples/s")
 
+    pipeline_split = None
     for name in BENCH_QUERIES:
+        if name == "pipeline_e2e":
+            pipeline_split = timed_pipeline_split(qs[name], spark, sf_dir)
+            per_query[name] = pipeline_split["total_sec"]
+            log(
+                f"  {name}: {per_query[name]}s (compile "
+                f"{pipeline_split['compile_sec']}s / exec "
+                f"{pipeline_split['exec_sec']}s)"
+            )
+            continue
         t0 = time.time()
         force(qs[name](spark, sf_dir))
         per_query[name] = round(time.time() - t0, 3)
@@ -161,6 +213,7 @@ def main() -> dict:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "pipeline_e2e_split": pipeline_split,
         "sf": sf,
         "cpus": cpus,
         "kg": kg,
