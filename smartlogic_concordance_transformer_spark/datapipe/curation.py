@@ -25,7 +25,9 @@ table instead. The per-stage survivor/drop-key frames are likewise
 lazily checkpointed: they are tiny, but their LINEAGE is the expensive
 part of the DAG, and without truncation every union branch that
 references a later stage replays the MinHash->LSH->Jaccard subgraph
-(measured 2x end-to-end on the bench corpus). Stage scan counts over
+(measured 3.1x end-to-end at sf0.1: 58.3s with an identity barrier vs
+18.8s truncated, same 5,209-row ledger; the gap grows with stage
+count). Stage scan counts over
 the materialized base: exact dedup 1 (hash window), near-dedup 2
 (signature agg + candidate verify), decontamination 1 (explode +
 broadcast join), mix/split 0 extra (pure projections on survivors).
@@ -33,6 +35,8 @@ Nothing all-pairs, nothing collected.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -66,6 +70,7 @@ def pretraining_pipeline(
     mix_fractions: dict[str, int] | None = None,
     boilerplate_min_docs: int = 5,
     shingle_k: int = 3,
+    materialize: Callable[[DataFrame, str], DataFrame] | None = None,
 ) -> DataFrame:
     """Run the full curation cascade; returns the per-doc ledger.
 
@@ -75,8 +80,19 @@ def pretraining_pipeline(
     Near-dedup drops the larger key of every verified pair (deterministic
     and non-recursive; cluster-representative dedup is
     ``connected_components`` composed downstream if wanted).
+
+    ``materialize``: optional ``(df, stage_name) -> df`` barrier hook.
+    Default is ``localCheckpoint(eager=False)`` — in-memory lineage
+    truncation, right at test scale. Pass an
+    ``io_tables.StageMaterializer`` (or any writer that persists and
+    re-reads) to make every barrier a durable intermediate table: the
+    run becomes resumable per stage via the stage ledger (a rerun over
+    the same root reuses completed stages), which is the 100 TB shape
+    the module docstring describes. Stage names, in write order:
+    cleaned, base, s2, sigs, dup_keys, flagged, kept_mix.
     """
     mix_fractions = mix_fractions or {}
+    barrier = materialize or (lambda df, stage: df.localCheckpoint(eager=False))
 
     # -- hygiene: boilerplate strip, then PII scrub on the survivor lines.
     # The barrier here is as much about PLAN size as data reuse: the scrub
@@ -89,18 +105,19 @@ def pretraining_pipeline(
             docs, text_col=text_col, key_col=key_col, min_docs=boilerplate_min_docs
         )
         .select(key_col, scrub_pii(F.col("clean_text")).alias("clean"))
-        .localCheckpoint(eager=False)
     )
+    cleaned = barrier(cleaned, "cleaned")
     stats = repetition_stats(cleaned, text_col="clean", key_col=key_col, ns=(2,))
     base = (
         cleaned.withColumn("quality", quality_score("clean"))
         .join(stats.select(key_col, "dup_word_frac", "top_2gram_frac"), key_col)
         .join(docs.select(key_col, strata_col), key_col)
-        # one materialization feeding every downstream consumer; the
-        # first action below realizes it (lazy -> no extra job). At real
-        # scale this is a written intermediate table.
-        .localCheckpoint(eager=False)
     )
+    # one materialization feeding every downstream consumer; with the
+    # default barrier the first action below realizes it (lazy -> no
+    # extra job). At real scale this is a written intermediate table
+    # (materialize= makes exactly that happen).
+    base = barrier(base, "base")
 
     # -- quality / repetition gates
     q_ok = F.col("quality") >= min_quality
@@ -125,8 +142,8 @@ def pretraining_pipeline(
         s1n.filter(F.col("_rn") == 1)
         .drop("_rn")
         .withColumn("_sh", shingles("clean", shingle_k))
-        .localCheckpoint(eager=False)
     )
+    s2 = barrier(s2, "s2")
 
     # -- near-dedup: MinHash -> banded LSH -> exact Jaccard verify.
     # Signatures get their own barrier: the banded self-join consumes
@@ -134,9 +151,10 @@ def pretraining_pipeline(
     # most expensive subplan for Catalyst — without the cut it is
     # optimized twice. (At run scale the signature table is persisted
     # anyway — it is the unit of incremental dedup.)
-    sigs = minhash_signatures(
-        s2, key_col=key_col, num_hashes=64, shingles_col="_sh"
-    ).localCheckpoint(eager=False)
+    sigs = barrier(
+        minhash_signatures(s2, key_col=key_col, num_hashes=64, shingles_col="_sh"),
+        "sigs",
+    )
     cand = minhash_lsh_candidates(sigs, key_col=key_col, bands=16, rows_per_band=4)
     pairs = ngram_jaccard_pairs(
         s2, cand, key_col=key_col, threshold=jaccard_threshold, shingles_col="_sh"
@@ -144,10 +162,10 @@ def pretraining_pipeline(
     # the drop-key frames are TINY but their lineage is the expensive
     # part of the whole DAG — checkpoint them (lazily) so the
     # MinHash->LSH->Jaccard subgraph runs ONCE, not once per consumer
-    # branch of the final union (measured 2x end-to-end on the bench
-    # corpus; the gap grows with the number of stages)
-    dup_keys = (
-        pairs.select(F.col("b").alias(key_col)).distinct().localCheckpoint(eager=False)
+    # branch of the final union (measured 3.1x end-to-end at sf0.1 via
+    # the identity-barrier hook; the gap grows with the number of stages)
+    dup_keys = barrier(
+        pairs.select(F.col("b").alias(key_col)).distinct(), "dup_keys"
     )
     drops_near = _drop(s2.join(dup_keys, key_col, "left_semi"), key_col, "near_dup")
     s3 = s2.join(dup_keys, key_col, "left_anti")
@@ -161,8 +179,8 @@ def pretraining_pipeline(
         )
         .filter(F.col("overlap_frac") >= contamination_frac)
         .select(key_col)
-        .localCheckpoint(eager=False)
     )
+    flagged = barrier(flagged, "flagged")
     drops_con = _drop(s3.join(flagged, key_col, "left_semi"), key_col, "contaminated")
     # decontamination is the last consumer of clean/_sh — carry only the
     # columns mix/split read, so the mix barrier persists keys+strata,
@@ -170,9 +188,10 @@ def pretraining_pipeline(
     s4 = s3.join(flagged, key_col, "left_anti").select(key_col, strata_col)
 
     # -- pretraining mix (per-stratum deterministic downsample)
-    kept_mix = stratified_sample(
-        s4, mix_fractions, strata_col=strata_col, key_col=key_col
-    ).localCheckpoint(eager=False)
+    kept_mix = barrier(
+        stratified_sample(s4, mix_fractions, strata_col=strata_col, key_col=key_col),
+        "kept_mix",
+    )
     drops_mix = _drop(s4.join(kept_mix.select(key_col), key_col, "left_anti"), key_col, "mix")
 
     # -- deterministic split on the final kept set

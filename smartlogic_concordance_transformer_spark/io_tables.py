@@ -142,3 +142,82 @@ class ParquetTableIO:
         return spark.read.option("basePath", self.data_dir).parquet(
             os.path.join(self.data_dir, "bucket=*")
         )
+
+
+class StageLedger:
+    """String-keyed sibling of ``CheckpointLedger`` for NAMED pipeline
+    stages (the curation cascade's barriers) — same atomic
+    write-data-then-commit-entry protocol, stage name as the key."""
+
+    def __init__(self, root: str):
+        self.dir = os.path.join(root, "_ledger")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def done_stages(self) -> set[str]:
+        done = set()
+        for name in os.listdir(self.dir):
+            if not name.endswith(".json") or name.startswith("_"):
+                continue
+            with open(os.path.join(self.dir, name)) as f:
+                entry = json.load(f)
+            if entry.get("status") == "done":
+                done.add(entry["stage"])
+        return done
+
+    def record(self, stage: str, **fields) -> None:
+        entry = {"stage": stage, "status": "done", **fields}
+        path = os.path.join(self.dir, f"stage={stage}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f, sort_keys=True)
+        os.replace(tmp, path)  # atomic commit of the ledger entry
+
+    def entries(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.dir)):
+            if name.endswith(".json") and not name.startswith("_"):
+                with open(os.path.join(self.dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+
+class StageMaterializer:
+    """The ``materialize=`` hook for ``pretraining_pipeline``: persist
+    each barrier frame as a parquet table under ``root/<stage>`` with a
+    ledger entry committed AFTER the data write (crash leaves at worst an
+    orphaned data dir that a rerun overwrites — the CheckpointLedger
+    protocol at stage grain).
+
+    A rerun over the same root REUSES every stage whose ledger entry is
+    ``done`` — the pipeline resumes from the first unpersisted stage
+    instead of recomputing the cascade from the raw corpus. Resume
+    assumes the input corpus and stage parameters are unchanged (the
+    ledger keys on stage name only); point a changed run at a fresh root.
+
+    ``reused``/``computed`` record which path each stage took — test and
+    observability hooks, not control flow. At 100 TB these parquet dirs
+    ARE the intermediate tables the module docstring promises (swap the
+    write for an Iceberg writer on a real deployment)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.ledger = StageLedger(root)
+        self.reused: list[str] = []
+        self.computed: list[str] = []
+
+    def __call__(self, df: DataFrame, stage: str) -> DataFrame:
+        path = os.path.join(self.root, stage)
+        if stage in self.ledger.done_stages():
+            self.reused.append(stage)
+            return self.spark.read.parquet(path)
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        # count the WRITTEN files (cheap metadata-ish scan), not df —
+        # one computation of the stage, not two
+        self.ledger.record(
+            stage, rows=out.count(), duration_sec=round(time.time() - t0, 3)
+        )
+        self.computed.append(stage)
+        return out
