@@ -230,48 +230,64 @@ def main() -> dict:
     return result
 
 
-def _mp_ceiling() -> str:
-    """Plain-multiprocessing scaling of the same json+md5 fold — the box's
-    physical ceiling, reported alongside the Spark numbers for context."""
-    import hashlib
+_MP_PAYLOAD: list = []
+
+
+def _mp_ceiling(src_path: str, n_docs_cap: int = 800_000) -> str:
+    """The box's scaling ceiling for THIS workload: the engine's actual
+    Arrow-batch fold kernel (``pyfold.convert_udf``) over the actual
+    bench payloads, driven by plain multiprocessing — no Spark, no Arrow
+    IPC, fork-COW input. This replaces round-4's toy json+md5 loop,
+    whose tiny cache-resident working set scaled 8->32 at ~0.9 and
+    OVERSTATED what any Arrow-UDF engine could reach: the real fold is
+    allocation/memory-bandwidth heavy and measures ~0.6 on this box —
+    the honest bound a zero-overhead engine could hit (each executor on
+    a real 4N-node cluster brings its own memory bus, so the bound does
+    not transfer to cluster scaling)."""
     import multiprocessing as mp
 
-    payload = (
-        '{"@graph":[{"@id":"http://www.ft.com/thing/20db1bd6-59f9-4404-adb5-3165a448f8b0",'
-        '"@type":["http://www.ft.com/ontology/Brand"],'
-        '"http://www.ft.com/ontology/TMEIdentifier":[{"@value":"AbCdEf-01"},{"@value":"Zy-09"}]}]}'
+    import pyarrow.parquet as pq
+
+    global _MP_PAYLOAD
+    _MP_PAYLOAD = (
+        pq.read_table(src_path, columns=["content"])
+        .column("content")
+        .to_pylist()[:n_docs_cap]
     )
-    total = 1_600_000
+    n = len(_MP_PAYLOAD)
     tputs = {}
     for procs in (32, 8, 2):
+        chunks = [(i * n // procs, (i + 1) * n // procs) for i in range(procs)]
         with mp.Pool(procs) as p:
             t0 = time.time()
-            p.map(_mp_work, [total // procs] * procs)
-            tputs[procs] = total / (time.time() - t0)
+            done = sum(p.map(_mp_kernel, chunks))
+            tputs[procs] = done / (time.time() - t0)
+    _MP_PAYLOAD = []
     e28 = tputs[8] / (4 * tputs[2])
     e832 = tputs[32] / (4 * tputs[8])
     return (
-        f"2 procs {tputs[2]:.0f}/s, 8 procs {tputs[8]:.0f}/s, 32 procs "
+        f"real fold kernel over {n} bench payloads: 2 procs "
+        f"{tputs[2]:.0f} docs/s, 8 procs {tputs[8]:.0f}/s, 32 procs "
         f"{tputs[32]:.0f}/s -> ceiling efficiency 2->8 = {e28:.2f}, "
         f"8->32 = {e832:.2f}."
     )
 
 
-def _mp_work(n: int) -> int:
-    import hashlib
-    import json as _json
+def _mp_kernel(args: tuple) -> int:
+    """One pool worker: run the engine's real per-batch fold over a slice
+    of the payload list (inherited via fork COW), at the same 10k-row
+    Arrow batch grain the Spark job uses."""
+    import pandas as pd
 
-    payload = (
-        '{"@graph":[{"@id":"http://www.ft.com/thing/20db1bd6-59f9-4404-adb5-3165a448f8b0",'
-        '"@type":["http://www.ft.com/ontology/Brand"],'
-        '"http://www.ft.com/ontology/TMEIdentifier":[{"@value":"AbCdEf-01"},{"@value":"Zy-09"}]}]}'
-    )
-    acc = 0
-    for _ in range(n):
-        d = _json.loads(payload)
-        for item in d["@graph"][0]["http://www.ft.com/ontology/TMEIdentifier"]:
-            acc += hashlib.md5(item["@value"].encode()).digest()[0]
-    return acc
+    from smartlogic_concordance_transformer_spark.pyfold import convert_udf
+
+    fn = convert_udf.func
+    lo, hi = args
+    s = pd.Series(_MP_PAYLOAD[lo:hi])
+    total = 0
+    for i in range(0, len(s), 10000):
+        total += len(fn(s.iloc[i : i + 10000]))
+    return total
 
 
 def scaling(n_small: int = 2, n_docs: int = 2_400_000) -> None:
@@ -314,7 +330,9 @@ def scaling(n_small: int = 2, n_docs: int = 2_400_000) -> None:
     tput_f = full["kg"]["triples_per_sec"]
     eff = tput_l / (4 * tput_s)
     eff_8_32 = tput_f / (4 * tput_l)
-    ceiling = _mp_ceiling()
+    import tempfile
+
+    ceiling = _mp_ceiling(os.path.join(tempfile.gettempdir(), f"bench_src_{n_docs}"))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH baseline — scaling efficiency N -> 4N
 
@@ -335,14 +353,19 @@ throughput_N) = **{eff:.3f}**; **{n_small * 4}->32** = **{eff_8_32:.3f}**
 (target >= 0.8 per BASELINE.json).
 
 Hardware-ceiling context (measured, same box, plain multiprocessing of
-the identical json+md5 fold — no Spark involved):
+the ENGINE'S OWN Arrow-batch fold kernel over the actual bench payloads
+— no Spark, no Arrow IPC, fork-COW input):
 {ceiling}
 i.e. even a perfect zero-overhead implementation cannot exceed those
 ratios here: a single shared box lowers per-core turbo clocks and
 saturates one memory bus as occupancy rises, whereas each executor on a
-real 4N-node cluster brings its own bus and clocks. The engine's plan is
-a single narrow stage (zero shuffles — see tests/test_plan_shape.py), so
-cluster scaling is bounded only by the source scan.
+real 4N-node cluster brings its own bus and clocks. (Rounds 1-4 used a
+toy json+md5 loop as the probe; its cache-resident working set scaled
+8->32 at ~0.9 and overstated the reachable bound — the real
+allocation-heavy kernel measures ~0.6, see the round-5 profile note
+below the marker.) The engine's plan is a single narrow stage (zero
+shuffles — see tests/test_plan_shape.py), so cluster scaling is bounded
+only by the source scan.
 
 Per-query seconds at local[32], sf={full['sf']}:
 

@@ -137,6 +137,13 @@ def parse_concept_udf(content: pd.Series) -> pd.DataFrame:
     return pd.DataFrame.from_records(records, columns=[f.name for f in CONCEPT_SCHEMA.fields])
 
 
+# deterministic in fact; the flag stops PushDownPredicates from
+# substituting validation filters through the parse projection, which
+# would plan a second ArrowEvalPython running the parse twice per row
+# (same duplication measured and fixed on the fused engine, pyfold.py)
+parse_concept_udf = parse_concept_udf.asNondeterministic()
+
+
 def parse_concept(content: Column | str) -> Column:
     c = F.col(content) if isinstance(content, str) else content
     return parse_concept_udf(c)
