@@ -110,7 +110,13 @@ def minhash_lsh_candidates(
 
     Two docs collide if any band of their signatures is identical. The
     join key is (band_id, hash(band slice)) — bucket sizes stay small, and
-    AQE splits any hot bucket."""
+    AQE splits any hot bucket.
+
+    ``signatures`` feeds BOTH sides of the self-join; its lineage is cut
+    so the MinHash aggregation runs once, not once per branch (the same
+    persist-the-signature-table shape the curation pipeline uses; a
+    pre-persisted input just pays one 512 B/row copy)."""
+    signatures = signatures.localCheckpoint(eager=False)
     banded = signatures.select(
         key_col,
         F.posexplode(
@@ -152,9 +158,13 @@ def ngram_jaccard_pairs(
 
     The shingle table is joined twice; each side is a broadcast-or-shuffle
     hash join on the key — no cross product. ``shingles_col`` reuses a
-    precomputed shingle-array column (see ``minhash_signatures``)."""
+    precomputed shingle-array column (see ``minhash_signatures``). The
+    shingle frame's lineage is cut so the gram build runs once, not once
+    per join side (already-persisted inputs just pay one array copy)."""
     src = F.col(shingles_col) if shingles_col else shingles(text_col, k, word_grams)
-    sh = df.select(F.col(key_col).alias("_k"), src.alias("_s"))
+    sh = df.select(F.col(key_col).alias("_k"), src.alias("_s")).localCheckpoint(
+        eager=False
+    )
     joined = (
         pairs.join(sh.withColumnRenamed("_k", "a").withColumnRenamed("_s", "_sa"), "a")
         .join(sh.withColumnRenamed("_k", "b").withColumnRenamed("_s", "_sb"), "b")
@@ -250,7 +260,15 @@ def simhash(
 def simhash_near_dups(fps: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """Candidate pairs with Hamming distance <= 3 via 4x16-bit banding
     (pigeonhole: <=3 differing bits leave at least one band identical),
-    then exact popcount filter."""
+    then exact popcount filter.
+
+    The banded self-join consumes ``fps`` on BOTH sides, so its lineage
+    is cut here: without the cut each branch recomputes the fingerprint
+    kernel over the full corpus (measured 3.7s -> 1.25s on the sf0.1
+    bench corpus). At run scale the fingerprint table is persisted anyway
+    — it is the unit of incremental dedup — and re-cutting an
+    already-persisted frame costs one 16 B/row copy."""
+    fps = fps.localCheckpoint(eager=False)
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))

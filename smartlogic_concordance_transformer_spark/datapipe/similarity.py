@@ -145,9 +145,12 @@ def lsh_near_dup_pairs(
     column for the stored corpus.
     """
     planes = _random_planes(dim, n_planes, seed)
+    # the signature frame feeds both sides of the bucket self-join — cut
+    # its lineage so the hyperplane-signature pass runs once, not once
+    # per branch (the persist-the-signature-table shape at run scale)
     sig = corpus.select(
         F.col(key_col).alias("_k"), lsh_signature(F.col(vec_col), planes).alias("_sig")
-    )
+    ).localCheckpoint(eager=False)
     probes = F.array(
         F.col("_sig"),
         *[F.col("_sig").bitwiseXOR(F.lit(1 << p)).cast("long") for p in range(n_planes)],
