@@ -372,6 +372,14 @@ Per-query seconds at local[32], sf={full['sf']}:
 | query | sec |
 |---|---|
 """ + "\n".join(f"| {k} | {v} |" for k, v in full["queries"].items()) + "\n"
+    split = full.get("pipeline_e2e_split")
+    if split:
+        md += (
+            f"\npipeline_e2e split: compile {split['compile_sec']}s / exec "
+            f"{split['exec_sec']}s — the one-time driver-side plan compile "
+            "amortizes to zero at real scale; exec is the data-dependent "
+            "path.\n"
+        )
     # hand-maintained narrative sections (round notes, kernel
     # micro-benchmarks) live below an explicit marker — carry everything
     # from the marker onward across regenerations
