@@ -1286,7 +1286,7 @@ def _repetition_oracle() -> str:
     ]
     c_ctes = [
         f"c{n} as (select doc_id, round(coalesce(sum(case when c > 1 then (c - 1) * length(g) end), 0) "
-        f"* 1.0 / sum(c * length(g)), 6) as dup_{n}gram_char_frac from k{n} group by doc_id)"
+        f"* 1.0 / greatest(sum(c * length(g)), 1), 6) as dup_{n}gram_char_frac from k{n} group by doc_id)"
         for n in _REP_CHAR_NS
     ]
     joins = " ".join(

@@ -155,9 +155,18 @@ def pretraining_pipeline(
         minhash_signatures(s2, key_col=key_col, num_hashes=64, shingles_col="_sh"),
         "sigs",
     )
-    cand = minhash_lsh_candidates(sigs, key_col=key_col, bands=16, rows_per_band=4)
+    # sigs and s2 are already barriered above — skip the operators'
+    # internal lineage cut (it would be a redundant second copy)
+    cand = minhash_lsh_candidates(
+        sigs, key_col=key_col, bands=16, rows_per_band=4, truncate_lineage=False
+    )
     pairs = ngram_jaccard_pairs(
-        s2, cand, key_col=key_col, threshold=jaccard_threshold, shingles_col="_sh"
+        s2,
+        cand,
+        key_col=key_col,
+        threshold=jaccard_threshold,
+        shingles_col="_sh",
+        truncate_lineage=False,
     )
     # the drop-key frames are TINY but their lineage is the expensive
     # part of the whole DAG — checkpoint them (lazily) so the

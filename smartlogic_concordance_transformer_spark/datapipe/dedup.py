@@ -105,6 +105,7 @@ def minhash_lsh_candidates(
     key_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from banded LSH buckets.
 
@@ -112,11 +113,15 @@ def minhash_lsh_candidates(
     join key is (band_id, hash(band slice)) — bucket sizes stay small, and
     AQE splits any hot bucket.
 
-    ``signatures`` feeds BOTH sides of the self-join; its lineage is cut
-    so the MinHash aggregation runs once, not once per branch (the same
-    persist-the-signature-table shape the curation pipeline uses; a
-    pre-persisted input just pays one 512 B/row copy)."""
-    signatures = signatures.localCheckpoint(eager=False)
+    ``signatures`` feeds BOTH sides of the self-join; by default its
+    lineage is cut so the MinHash aggregation runs once, not once per
+    branch (the same persist-the-signature-table shape the curation
+    pipeline uses). Callers that already persisted/barriered the
+    signatures pass ``truncate_lineage=False`` to skip the redundant
+    copy — and at fault-tolerant run scale a durable signature table,
+    not a local checkpoint, is the right barrier."""
+    if truncate_lineage:
+        signatures = signatures.localCheckpoint(eager=False)
     banded = signatures.select(
         key_col,
         F.posexplode(
@@ -153,18 +158,20 @@ def ngram_jaccard_pairs(
     word_grams: bool = True,
     threshold: float = 0.0,
     shingles_col: str | None = None,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs: (a, b, jaccard).
 
     The shingle table is joined twice; each side is a broadcast-or-shuffle
     hash join on the key — no cross product. ``shingles_col`` reuses a
-    precomputed shingle-array column (see ``minhash_signatures``). The
-    shingle frame's lineage is cut so the gram build runs once, not once
-    per join side (already-persisted inputs just pay one array copy)."""
+    precomputed shingle-array column (see ``minhash_signatures``). By
+    default the shingle frame's lineage is cut so the gram build runs
+    once, not once per join side; pass ``truncate_lineage=False`` when
+    ``df`` is already persisted/barriered (the copy would be redundant)."""
     src = F.col(shingles_col) if shingles_col else shingles(text_col, k, word_grams)
-    sh = df.select(F.col(key_col).alias("_k"), src.alias("_s")).localCheckpoint(
-        eager=False
-    )
+    sh = df.select(F.col(key_col).alias("_k"), src.alias("_s"))
+    if truncate_lineage:
+        sh = sh.localCheckpoint(eager=False)
     joined = (
         pairs.join(sh.withColumnRenamed("_k", "a").withColumnRenamed("_s", "_sa"), "a")
         .join(sh.withColumnRenamed("_k", "b").withColumnRenamed("_s", "_sb"), "b")
@@ -257,18 +264,21 @@ def simhash(
     return df.select(key_col, _vote(hashes).alias("simhash"))
 
 
-def simhash_near_dups(fps: DataFrame, key_col: str = "doc_id") -> DataFrame:
+def simhash_near_dups(
+    fps: DataFrame, key_col: str = "doc_id", truncate_lineage: bool = True
+) -> DataFrame:
     """Candidate pairs with Hamming distance <= 3 via 4x16-bit banding
     (pigeonhole: <=3 differing bits leave at least one band identical),
     then exact popcount filter.
 
-    The banded self-join consumes ``fps`` on BOTH sides, so its lineage
-    is cut here: without the cut each branch recomputes the fingerprint
-    kernel over the full corpus (measured 3.7s -> 1.25s on the sf0.1
-    bench corpus). At run scale the fingerprint table is persisted anyway
-    — it is the unit of incremental dedup — and re-cutting an
-    already-persisted frame costs one 16 B/row copy."""
-    fps = fps.localCheckpoint(eager=False)
+    The banded self-join consumes ``fps`` on BOTH sides, so by default
+    its lineage is cut here: without the cut each branch recomputes the
+    fingerprint kernel over the full corpus (measured 3.7s -> 1.25s on
+    the sf0.1 bench corpus). At run scale the fingerprint table is
+    persisted anyway — it is the unit of incremental dedup — pass
+    ``truncate_lineage=False`` then to skip the redundant copy."""
+    if truncate_lineage:
+        fps = fps.localCheckpoint(eager=False)
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))

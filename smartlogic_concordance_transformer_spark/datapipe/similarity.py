@@ -127,6 +127,7 @@ def lsh_near_dup_pairs(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     seed: int = 42,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs ``(a, b)`` with ``a < b`` and cosine >=
     ``threshold`` — WITHOUT an all-pairs cross join.
@@ -146,11 +147,14 @@ def lsh_near_dup_pairs(
     """
     planes = _random_planes(dim, n_planes, seed)
     # the signature frame feeds both sides of the bucket self-join — cut
-    # its lineage so the hyperplane-signature pass runs once, not once
-    # per branch (the persist-the-signature-table shape at run scale)
+    # its lineage (default) so the hyperplane-signature pass runs once,
+    # not once per branch; truncate_lineage=False for callers that
+    # persist the signature table themselves (the run-scale shape)
     sig = corpus.select(
         F.col(key_col).alias("_k"), lsh_signature(F.col(vec_col), planes).alias("_sig")
-    ).localCheckpoint(eager=False)
+    )
+    if truncate_lineage:
+        sig = sig.localCheckpoint(eager=False)
     probes = F.array(
         F.col("_sig"),
         *[F.col("_sig").bitwiseXOR(F.lit(1 << p)).cast("long") for p in range(n_planes)],

@@ -263,6 +263,10 @@ def repetition_stats(
     # threads through the explode; (c-1)*len numerator / c*len denominator
     # are exact integer sums
     gl = F.length(F.col("_g"))
+    # denominator floor: an empty/whitespace/null doc tokenizes to a
+    # single zero-length gram, making sum(c*len) = 0 — the floor keeps
+    # the defined-stats contract (frac 0) instead of an ANSI
+    # divide-by-zero abort; mirrored in the DuckDB oracle
     char_dups = [
         F.round(
             F.coalesce(
@@ -274,7 +278,9 @@ def repetition_stats(
                 ),
                 F.lit(0),
             )
-            / F.sum(F.when(F.col("_n") == n, F.col("_c") * gl)),
+            / F.greatest(
+                F.sum(F.when(F.col("_n") == n, F.col("_c") * gl)), F.lit(1)
+            ),
             6,
         ).alias(f"dup_{n}gram_char_frac")
         for n in char_dup_ns

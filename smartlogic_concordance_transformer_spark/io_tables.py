@@ -160,7 +160,10 @@ class StageLedger:
                 continue
             with open(os.path.join(self.dir, name)) as f:
                 entry = json.load(f)
-            if entry.get("status") == "done":
+            # entries without a 'stage' key are not ours (e.g. a
+            # CheckpointLedger bucket entry sharing the root) — ignore
+            # rather than crash resume with an opaque KeyError
+            if entry.get("status") == "done" and entry.get("stage") is not None:
                 done.add(entry["stage"])
         return done
 

@@ -274,6 +274,23 @@ def test_repetition_char_dup_fractions(spark):
     assert got[3].top_2gram_frac == 0.6
 
 
+def test_repetition_char_dup_empty_and_null_text(spark):
+    # empty/whitespace/null text tokenizes to a single zero-length gram:
+    # the char-frac denominator would be 0 — must yield 0.0, not an ANSI
+    # divide-by-zero abort (the defined-stats contract)
+    from smartlogic_concordance_transformer_spark.datapipe import repetition_stats
+
+    rows = [(1, ""), (2, "   "), (3, None), (4, "a b c d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r for r in repetition_stats(df, ns=(2,), char_dup_ns=(5,)).collect()
+    }
+    assert len(got) == 4
+    for i in (1, 2, 3):
+        assert got[i].dup_5gram_char_frac == 0.0
+    assert got[4].dup_5gram_char_frac == 0.0
+
+
 def test_repetition_stats_lines_paras_and_null_text(spark):
     from smartlogic_concordance_transformer_spark.datapipe import repetition_stats
 
