@@ -28,6 +28,36 @@ def test_transform_has_no_shuffle(spark):
     assert "Exchange" not in _plan(emit_triples(good))
 
 
+def test_fold_udf_evaluated_exactly_once(spark):
+    # the round-5 regression: PushDownPredicates substituted the
+    # good/quarantine split condition through the fold projection and
+    # ExtractPythonUDFs planned TWO ArrowEvalPython nodes — the whole
+    # kernel ran twice per row (measured 1.6x wall). asNondeterministic
+    # on the fold UDF pins a single evaluation; this test pins the pin.
+    good, quar = transform(generate_source_repos(spark, 100, seed=1))
+    for df in (good, quar, emit_triples(good)):
+        plan = _plan(df)
+        assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_decontaminate_builds_shingles_once(spark):
+    # the round-5 regression: a non-outer Generate over the named shingle
+    # column let InferFiltersFromGenerate add a size(arr)>0 filter that
+    # pushdown moved below the repartition exchange, re-running the whole
+    # gram build on the raw scan partitions (3x wall). explode_outer gets
+    # no inferred filter; the expensive build must appear ONCE on the
+    # corpus side (the second occurrence is the benchmark side's own
+    # dictionary build).
+    from smartlogic_concordance_transformer_spark.datapipe.hygiene import (
+        flag_contaminated,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(4)
+    bench = docs.filter(F.pmod("doc_id", 50) == 0)
+    plan = _plan(flag_contaminated(docs, bench, k=3, min_overlap=10))
+    assert plan.count("array_distinct") == 2, plan
+
+
 def test_column_pruning_reaches_scan(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     q = docs.select("doc_id", "source")
