@@ -530,6 +530,26 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_frequencies(_spread(spark, _docs(spark, sf_dir)), min_count=5)
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # winnowing fingerprint sets (Schleimer et al. SIGMOD'03), one row per
+    # distinct fingerprint. The contract query uses the portable 60-bit
+    # md5 gram hash so DuckDB rebuilds identical fingerprints digit-by-
+    # digit (same pluggable-kernel pattern as dedup_simhash); the default
+    # xxhash64 kernel stays the production path.
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import md5_token_hash
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        winnow_fingerprint_sets,
+    )
+
+    d = _spread(spark, _docs(spark, sf_dir))
+    sets = winnow_fingerprint_sets(d, k=8, window=4, gram_hash=md5_token_hash)
+    # explode_OUTER: a plain explode over the named fps column gets an
+    # inferred size>0 filter that pushdown re-substitutes the whole
+    # two-projection winnow tree into (same trap as flag_contaminated);
+    # fps is never empty (n_windows >= 1) so the rows are identical
+    return sets.select("doc_id", F.explode_outer("fps").alias("fp"))
+
+
 def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BPE-proxy word-piece count: camelCase boundary split + every
     # letter/digit run or single punctuation char is one piece
@@ -960,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_chunks": q_text_chunks,
         "text_vocab": q_text_vocab,
+        "text_winnow": q_text_winnow,
         "text_tokens_bpe": q_text_tokens_bpe,
         "pipeline_e2e": q_pipeline_e2e,
         "split_assign": q_split_assign,
@@ -1324,6 +1345,43 @@ def _repetition_oracle() -> str:
           {char_block}
           select f.doc_id, dup_word_frac, dup_line_frac, dup_para_frac, {cols}
           from f {joins}
+    """
+
+
+def _winnow_oracle() -> str:
+    """Independent rebuild of the md5-gram-hash winnowing set: per char
+    8-gram the 60-bit hash is reassembled digit-by-digit from md5 hex
+    (shift-add, same construction the simhash oracle proves), then min
+    per sliding 4-window, then distinct + unnest."""
+    # md5 hoisted to its own transform so each gram hashes ONCE; the
+    # digit shift-add then reads the precomputed hex (15x fewer md5
+    # calls than inlining md5(g) in the digit lambda — 172s -> ~40s on
+    # the sf0.01 gate)
+    h60 = (
+        "cast(list_sum(list_transform(range(15), j -> "
+        "((strpos('0123456789abcdef', substr(h, j+1, 1)) - 1)::bigint "
+        "<< (4*(14-j))))) as bigint)"
+    )
+    return f"""
+      with norm as (
+        select doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) as t
+        from documents),
+      gh as (
+        select doc_id,
+               list_transform(
+                 list_transform(
+                   list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                                  i -> substr(t, i, 8)),
+                   g -> md5(g)),
+                 h -> {h60}) as hs
+        from norm),
+      w as (
+        select doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(hs) - 3, 1) + 1),
+                 i -> list_min(hs[i:i+3]))) as fps
+        from gh)
+      select doc_id, unnest(fps) as fp from w
     """
 
 
@@ -1810,6 +1868,7 @@ def oracle_sql() -> dict[str, str]:
                  len(string_split(trim(regexp_replace(x, '\s+', ' ', 'g')), ' ')) as n_pieces
           from p
         """,
+        "text_winnow": _winnow_oracle(),
         "pipeline_e2e": _pipeline_e2e_oracle(),
         "split_assign": """
           select doc_id,

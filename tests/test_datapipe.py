@@ -105,6 +105,25 @@ def test_winnowing_overlap(docs):
     assert sim_13 > 0.5 > sim_17
 
 
+def test_winnow_fingerprint_sets_matches_expression_form(docs):
+    # the DataFrame op (two projections, hash array materialized) must
+    # produce the same fingerprint sets as the one-expression form
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        winnow_fingerprint_sets,
+    )
+
+    expr = {
+        r.doc_id: sorted(r.w)
+        for r in docs.select("doc_id", winnowing_fingerprints("text").alias("w")).collect()
+    }
+    dfop = {r.doc_id: sorted(r.fps) for r in winnow_fingerprint_sets(docs).collect()}
+    assert expr == dfop
+    # the hash-array build must appear exactly once in the plan (the
+    # O(n_windows x n_grams) re-evaluation this op exists to avoid)
+    plan = winnow_fingerprint_sets(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("xxhash64") == 1, plan
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     rng = np.random.default_rng(7)
