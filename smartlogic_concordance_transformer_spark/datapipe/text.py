@@ -173,6 +173,7 @@ def repetition_stats(
     key_col: str = "doc_id",
     ns: tuple[int, ...] = (2, 3, 4),
     char_dup_ns: tuple[int, ...] = (),
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Gopher-style repetition filter inputs (Rae et al. 2021, app. A1):
     per document, the duplicate-word / duplicate-line / duplicate-
@@ -207,6 +208,16 @@ def repetition_stats(
     operators. Null text is treated as '' (one defined-stats row per
     input doc, not silent omission).
 
+    ``hash_grams`` (default): the per-gram count groups by
+    ``(n, xxhash64(gram), length(gram))`` instead of the gram string —
+    the shuffle carries 12 bytes per gram occurrence instead of the
+    ~n*word-length string (measured 6.8s -> 5.2s at sf0.1; the gap is
+    pure shuffle volume and grows with document length). Counts are
+    identical unless two distinct grams of one document collide in 64
+    bits (p ~ 1e-15 per document — and a collision only merges two gram
+    counts in that one document's stats, no cross-document effect).
+    ``hash_grams=False`` groups by the literal gram string.
+
     Returns (key, dup_word_frac, dup_line_frac, dup_para_frac,
     top_{n}gram_frac ..., dup_{n}gram_char_frac ...), all rounded to 6.
     """
@@ -224,8 +235,21 @@ def repetition_stats(
     # `lambda g, n=n:` default-arg idiom has arity 2, which F.transform
     # interprets as an (element, index) lambda and silently passes the
     # array INDEX as the second argument
-    def _tag(size: int):
-        return lambda g: F.struct(F.lit(size).alias("n"), g.alias("g"))
+    if hash_grams:
+
+        def _tag(size: int):
+            return lambda g: F.struct(
+                F.lit(size).alias("n"),
+                F.xxhash64(g).alias("g"),
+                F.length(g).alias("l"),
+            )
+
+    else:
+
+        def _tag(size: int):
+            return lambda g: F.struct(
+                F.lit(size).alias("n"), g.alias("g"), F.length(g).alias("l")
+            )
 
     all_ns = sorted(set(ns) | set(char_dup_ns))
     tagged = F.flatten(
@@ -249,6 +273,7 @@ def repetition_stats(
         "dup_para_frac",
         F.col("_t.n").alias("_n"),
         F.col("_t.g").alias("_g"),
+        F.col("_t.l").alias("_l"),
     )
     fracs = ["dup_word_frac", "dup_line_frac", "dup_para_frac"]
     tops = [
@@ -259,10 +284,9 @@ def repetition_stats(
         ).alias(f"top_{n}gram_frac")
         for n in ns
     ]
-    # gram char length read off the gram string itself — no extra column
-    # threads through the explode; (c-1)*len numerator / c*len denominator
-    # are exact integer sums
-    gl = F.length(F.col("_g"))
+    # gram char length rides the tag struct (computed once pre-explode);
+    # (c-1)*len numerator / c*len denominator are exact integer sums
+    gl = F.col("_l")
     # denominator floor: an empty/whitespace/null doc tokenizes to a
     # single zero-length gram, making sum(c*len) = 0 — the floor keeps
     # the defined-stats contract (frac 0) instead of an ANSI
@@ -286,7 +310,7 @@ def repetition_stats(
         for n in char_dup_ns
     ]
     return (
-        exploded.groupBy(key_col, *fracs, "_n", "_g")
+        exploded.groupBy(key_col, *fracs, "_n", "_g", "_l")
         .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy(key_col, *fracs)
         .agg(*tops, *char_dups)
