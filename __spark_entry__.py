@@ -360,6 +360,39 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental dedup (the daily-ingest shape): the existing corpus's
+    # signature table is banded and probed ONCE — never self-joined —
+    # while a small new batch (one-token twins of every 10th doc at
+    # +100000, byte-exact re-ingests of every 25th doc at +400000) is
+    # checked against existing docs and against itself. Banded candidates
+    # -> exact Jaccard verify >= 0.8 over the union corpus. Every
+    # qualifying pair sits at j >= 0.9 (raw-corpus empty-band
+    # precondition, tests/test_oracle_preconditions.py; re-ingests are
+    # byte-identical -> identical signatures), so the banded path
+    # reproduces the oracle's all-pairs rows.
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        minhash_incremental_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    base = _spread(spark, _docs(spark, sf_dir)).select("doc_id", "text")
+    twins = base.filter(F.pmod("doc_id", 10) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zq")).alias("text"),
+    )
+    copies = base.filter(F.pmod("doc_id", 25) == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"), "text"
+    )
+    new = twins.unionByName(copies)
+    base_sigs = minhash_signatures(base, num_hashes=64, k=3)
+    new_sigs = minhash_signatures(new, num_hashes=64, k=3)
+    cand = minhash_incremental_candidates(new_sigs, base_sigs, bands=16, rows_per_band=4)
+    pairs = ngram_jaccard_pairs(base.unionByName(new), cand, k=3, threshold=0.8)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operator composition: near-dup pairs (MinHash->LSH->Jaccard, same
     # construction as dedup_lsh_verified) -> connected components ->
@@ -967,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
         "text_pii": q_text_pii,
@@ -1704,6 +1738,36 @@ def oracle_sql() -> dict[str, str]:
             select e.u, reach.r from e join reach on reach.node = e.v
           )
           select node, min(r) as component from reach group by node
+        """,
+        "dedup_incremental": """
+          with base as (
+            select doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as toks
+            from documents),
+          twin as (
+            select doc_id + 100000 as doc_id,
+                   string_split(trim(regexp_replace(lower(text || ' zq'), '\\s+', ' ', 'g')), ' ') as toks
+            from documents where doc_id % 10 = 0),
+          cpy as (
+            select doc_id + 400000 as doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as toks
+            from documents where doc_id % 25 = 0),
+          allr as (select * from base union all select * from twin union all select * from cpy),
+          sets as (
+            select doc_id,
+                   list_distinct(list_transform(
+                     range(greatest(len(toks) - 2, 1)),
+                     i -> array_to_string(toks[i+1:i+3], ' '))) as s
+            from allr),
+          j as (
+            select a.doc_id as a, b.doc_id as b,
+                   len(list_intersect(a.s, b.s)) * 1.0
+                     / len(list_distinct(list_concat(a.s, b.s))) as jaccard
+            from sets a join sets b
+              on a.doc_id >= 100000
+             and (b.doc_id < 100000 or a.doc_id < b.doc_id)
+             and a.doc_id <> b.doc_id)
+          select a, b, round(jaccard, 6) as jaccard from j where jaccard >= 0.8
         """,
         "dedup_embed": """
           with base as (select vec_id, embedding from embeddings where vec_id < 1000),

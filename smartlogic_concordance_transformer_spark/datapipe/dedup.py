@@ -122,7 +122,20 @@ def minhash_lsh_candidates(
     not a local checkpoint, is the right barrier."""
     if truncate_lineage:
         signatures = signatures.localCheckpoint(eager=False)
-    banded = signatures.select(
+    banded = _banded(signatures, key_col, bands, rows_per_band)
+    a = banded.select(F.col(key_col).alias("a"), "band", "band_hash")
+    b = banded.select(F.col(key_col).alias("b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def _banded(signatures: DataFrame, key_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """(key, band, band_hash) — one row per signature band."""
+    return signatures.select(
         key_col,
         F.posexplode(
             F.transform(
@@ -139,11 +152,42 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
-    a = banded.select(F.col(key_col).alias("a"), "band", "band_hash")
-    b = banded.select(F.col(key_col).alias("b"), "band", "band_hash")
+
+
+def minhash_incremental_candidates(
+    new_sigs: DataFrame,
+    base_sigs: DataFrame,
+    key_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Candidate pairs for INCREMENTAL dedup: each NEW document against
+    the existing corpus AND the other new documents — the daily-ingest
+    shape. The existing corpus is never self-joined (no O(existing²)
+    work per batch): its persisted signature table is banded and scanned
+    once as the probe side; only the (small) new batch appears on both
+    sides. Keys must be globally unique across both frames.
+
+    Returns (a, b): ``a`` is a new key; ``b`` is an existing key, or a
+    new key with ``a < b`` (each new-new pair reported once). Feed the
+    result to ``ngram_jaccard_pairs`` over the union corpus for exact
+    verification, exactly as with the batch path.
+    """
+    if truncate_lineage:
+        new_sigs = new_sigs.localCheckpoint(eager=False)
+    nb = _banded(new_sigs, key_col, bands, rows_per_band)
+    probe = _banded(base_sigs, key_col, bands, rows_per_band).select(
+        F.col(key_col).alias("b"), "band", "band_hash", F.lit(False).alias("_bn")
+    ).unionByName(
+        nb.select(
+            F.col(key_col).alias("b"), "band", "band_hash", F.lit(True).alias("_bn")
+        )
+    )
+    a = nb.select(F.col(key_col).alias("a"), "band", "band_hash")
     return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
+        a.join(probe, ["band", "band_hash"])
+        .filter((~F.col("_bn")) | (F.col("a") < F.col("b")))
         .select("a", "b")
         .distinct()
     )

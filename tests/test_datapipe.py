@@ -293,6 +293,43 @@ def test_repetition_char_dup_fractions(spark):
     assert got[3].top_2gram_frac == 0.6
 
 
+def test_minhash_incremental_candidates(spark):
+    # the daily-ingest shape: new batch vs existing corpus + itself;
+    # existing near-dup pairs must NOT be reported (no existing
+    # self-join), new-new pairs exactly once, and every pair leads with
+    # the new key
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        minhash_incremental_candidates,
+        minhash_signatures,
+    )
+
+    base_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today and every day"),
+        # 2 and 3 are near-dups WITHIN the existing corpus — must not appear
+        (2, "an existing document about spark shuffles and parquet readers in production"),
+        (3, "an existing document about spark shuffles and parquet readers in production zz"),
+    ]
+    new_rows = [
+        (101, "the quick brown fox jumps over the lazy dog today and every day qq"),  # ~ 1
+        (102, "the quick brown fox jumps over the lazy dog today and every day qq rr"),  # ~ 1, ~101
+        (103, "a completely fresh document sharing nothing with anything else at all"),
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    cand = minhash_incremental_candidates(
+        minhash_signatures(new, num_hashes=64, k=3),
+        minhash_signatures(base, num_hashes=64, k=3),
+        bands=16,
+        rows_per_band=4,
+    )
+    pairs = {(r.a, r.b) for r in cand.collect()}
+    assert all(a >= 101 for a, _ in pairs)          # every pair leads with a new key
+    assert (2, 3) not in pairs and (3, 2) not in pairs  # existing never self-joined
+    assert (101, 1) in pairs and (102, 1) in pairs  # new vs existing
+    assert (101, 102) in pairs and (102, 101) not in pairs  # new-new once, a < b
+    assert not any(a == 103 or b == 103 for a, b in pairs)  # fresh doc matches nothing
+
+
 def test_repetition_char_dup_empty_and_null_text(spark):
     # empty/whitespace/null text tokenizes to a single zero-length gram:
     # the char-frac denominator would be 0 — must yield 0.0, not an ANSI
