@@ -823,6 +823,30 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join with a staleness bound (pandas merge_asof tolerance):
+    # a view older than 30 minutes before the click is discarded — the
+    # matched struct nulls atomically. Same one-shuffle plan as asof_join.
+    from smartlogic_concordance_transformer_spark.datapipe.asof import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    l = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("ts"), F.col("value").alias("click_value")
+    )
+    r = ev.filter(F.col("event_type") == "view").select(
+        "user_id", us.alias("ts"), F.col("value").alias("view_value")
+    )
+    out = asof_join(l, r, on="ts", by=["user_id"], tolerance=1800 * 1_000_000)
+    return out.select(
+        "user_id",
+        F.col("ts").alias("click_us"),
+        "click_value",
+        F.col("asof_ts").alias("view_us"),
+        F.col("asof_view_value").alias("view_value_prev"),
+    )
+
+
 def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     return (
@@ -1024,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": q_sim_ivf,
         "streaming_sessions": q_streaming_sessions,
         "asof_join": q_asof_join,
+        "asof_tolerance": q_asof_tolerance,
         "agg_pricing": q_agg_pricing,
         "join_top_customers": q_join_top_customers,
         "window_topk": q_window_topk,
@@ -1847,6 +1872,20 @@ def oracle_sql() -> dict[str, str]:
           select l.user_id, l.ts as click_us, l.click_value,
                  r.ts as view_us, r.view_value as view_value_prev
           from l asof left join r on l.user_id = r.user_id and l.ts >= r.ts
+        """,
+        "asof_tolerance": """
+          with l as (select user_id, epoch_us(ts) as ts, value as click_value
+                     from events where event_type = 'click'),
+               r as (select user_id, epoch_us(ts) as ts, value as view_value
+                     from events where event_type = 'view'),
+          m as (
+            select l.user_id, l.ts as click_us, l.click_value,
+                   r.ts as view_us, r.view_value
+            from l asof left join r on l.user_id = r.user_id and l.ts >= r.ts)
+          select user_id, click_us, click_value,
+                 case when click_us - view_us <= 1800000000 then view_us end as view_us,
+                 case when click_us - view_us <= 1800000000 then view_value end as view_value_prev
+          from m
         """,
         "sim_topk": """
           with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5),

@@ -27,10 +27,16 @@ def asof_join(
     value_cols: list[str] | None = None,
     prefix: str = "asof_",
     seq_col: str | None = None,
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """Left rows + ``{prefix}{col}`` for each right value column (and
     ``{prefix}{on}``, the matched right timestamp); nulls when no right
     row precedes. ``by`` defaults to no keying (one global timeline).
+
+    ``tolerance``: pandas ``merge_asof`` parity — a match older than
+    ``left.on - tolerance`` is discarded (the whole matched struct nulls
+    atomically, same no-tearing rule as the fill). A pure post-window
+    projection: the plan shape (one shuffle) is unchanged.
 
     Tie-break among multiple right rows sharing the same ``(by, on)``:
     the row with the greatest ``seq_col`` wins. When ``seq_col`` is None
@@ -105,6 +111,8 @@ def asof_join(
         F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
     m = F.col("_r")
+    if tolerance is not None:
+        m = F.when(F.col(on) - F.col("_r")[on] <= F.lit(tolerance), F.col("_r"))
     return (
         filled.filter(F.col("_side") == 1)
         .select(

@@ -770,3 +770,42 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                 assert g is None, (case, row.user, row.ts, g)
             else:
                 assert g is not None and abs(g - row.v) < 1e-12, (case, row.user, row.ts)
+
+
+def test_asof_join_tolerance_matches_pandas(spark):
+    # tolerance discards matches older than left.ts - tol, atomically —
+    # pandas merge_asof(tolerance=...) is the independent model
+    import pandas as pd
+
+    from smartlogic_concordance_transformer_spark.datapipe.asof import asof_join
+
+    rng = np.random.default_rng(13)
+    lpd = pd.DataFrame({
+        "user": rng.integers(0, 3, 40).astype(str),
+        "ts": rng.integers(0, 100, 40).astype("int64"),
+    }).drop_duplicates(["user", "ts"])
+    rpd = pd.DataFrame({
+        "user": rng.integers(0, 3, 25).astype(str),
+        "ts": rng.integers(0, 100, 25).astype("int64"),
+        "v": rng.normal(size=25),
+    }).drop_duplicates(["user", "ts"])
+    want = pd.merge_asof(
+        lpd.sort_values("ts"), rpd.sort_values("ts"),
+        on="ts", by="user", direction="backward", tolerance=10,
+        suffixes=("", "_r"),
+    )
+    got = {
+        (x.user, x.ts): (x.asof_ts, x.asof_v)
+        for x in asof_join(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+            on="ts", by=["user"], tolerance=10,
+        ).collect()
+    }
+    for _, row in want.iterrows():
+        g_ts, g_v = got[(row.user, row.ts)]
+        if pd.isna(row.v):
+            # either no match at all or a too-old one: both null atomically
+            assert g_v is None, (row.user, row.ts, g_v)
+        else:
+            assert g_v is not None and abs(g_v - row.v) < 1e-12
+            assert g_ts is not None and row.ts - g_ts <= 10
