@@ -28,15 +28,21 @@ def asof_join(
     prefix: str = "asof_",
     seq_col: str | None = None,
     tolerance: int | float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left rows + ``{prefix}{col}`` for each right value column (and
     ``{prefix}{on}``, the matched right timestamp); nulls when no right
     row precedes. ``by`` defaults to no keying (one global timeline).
 
-    ``tolerance``: pandas ``merge_asof`` parity — a match older than
-    ``left.on - tolerance`` is discarded (the whole matched struct nulls
-    atomically, same no-tearing rule as the fill). A pure post-window
-    projection: the plan shape (one shuffle) is unchanged.
+    ``tolerance``: pandas ``merge_asof`` parity — a match farther than
+    ``tolerance`` from ``left.on`` is discarded (the whole matched struct
+    nulls atomically, same no-tearing rule as the fill). A pure
+    post-window projection: the plan shape (one shuffle) is unchanged.
+
+    ``direction``: 'backward' (default: greatest ``right.on <=
+    left.on``) or 'forward' (smallest ``right.on >= left.on``) — the
+    forward join is the backward join over the negated timeline, so both
+    directions share the identical one-shuffle window plan.
 
     Tie-break among multiple right rows sharing the same ``(by, on)``:
     the row with the greatest ``seq_col`` wins. When ``seq_col`` is None
@@ -46,6 +52,29 @@ def asof_join(
     table scan is); pass an explicit ``seq_col`` for an order guarantee
     that survives arbitrary upstream shuffles.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be 'backward' or 'forward', got {direction!r}")
+    if direction == "forward":
+        # mirror the timeline: forward-asof(on) == backward-asof(-on)
+        # (requires a numeric ``on``; negation of int64/double is exact).
+        # The matched timestamp is un-negated on the way out; output
+        # column order matches the backward form.
+        neg_on = f"_neg_{on}"
+        l_neg = left.withColumn(neg_on, -F.col(on)).drop(on)
+        r_neg = right.withColumn(neg_on, -F.col(on)).drop(on)
+        out = asof_join(
+            l_neg, r_neg, on=neg_on, by=by,
+            value_cols=value_cols, prefix=prefix, seq_col=seq_col,
+            tolerance=tolerance, direction="backward",
+        )
+        lt = left.schema[on].dataType
+        return out.select(
+            *[c for c in left.columns if c != on],
+            (-F.col(neg_on)).cast(lt).alias(on),
+            (-F.col(f"{prefix}{neg_on}")).cast(lt).alias(f"{prefix}{on}"),
+            *[c for c in out.columns if c.startswith(prefix) and c != f"{prefix}{neg_on}"],
+        )
+
     by = list(by or [])
     if value_cols is None:
         value_cols = [c for c in right.columns if c != on and c not in by and c != seq_col]

@@ -772,6 +772,54 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                 assert g is not None and abs(g - row.v) < 1e-12, (case, row.user, row.ts)
 
 
+def test_asof_join_forward_matches_pandas(spark):
+    # direction='forward': smallest right.ts >= left.ts; pandas
+    # merge_asof(direction='forward') is the independent model, with and
+    # without a tolerance bound
+    import pandas as pd
+
+    from smartlogic_concordance_transformer_spark.datapipe.asof import asof_join
+
+    rng = np.random.default_rng(17)
+    lpd = pd.DataFrame({
+        "user": rng.integers(0, 3, 40).astype(str),
+        "ts": rng.integers(0, 100, 40).astype("int64"),
+    }).drop_duplicates(["user", "ts"])
+    rpd = pd.DataFrame({
+        "user": rng.integers(0, 3, 25).astype(str),
+        "ts": rng.integers(0, 100, 25).astype("int64"),
+        "v": rng.normal(size=25),
+    }).drop_duplicates(["user", "ts"])
+    for tol in (None, 10):
+        want = pd.merge_asof(
+            lpd.sort_values("ts"), rpd.sort_values("ts"),
+            on="ts", by="user", direction="forward", tolerance=tol,
+            suffixes=("", "_r"),
+        )
+        got = {
+            (x.user, x.ts): (x.asof_ts, x.asof_v)
+            for x in asof_join(
+                spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                on="ts", by=["user"], direction="forward", tolerance=tol,
+            ).collect()
+        }
+        for _, row in want.iterrows():
+            g_ts, g_v = got[(row.user, row.ts)]
+            if pd.isna(row.v):
+                assert g_v is None, (tol, row.user, row.ts, g_v)
+            else:
+                assert g_v is not None and abs(g_v - row.v) < 1e-12, (tol, row.user, row.ts)
+                assert g_ts >= row.ts
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+            on="ts", by=["user"], direction="nearest",
+        )
+
+
 def test_asof_join_tolerance_matches_pandas(spark):
     # tolerance discards matches older than left.ts - tol, atomically —
     # pandas merge_asof(tolerance=...) is the independent model
