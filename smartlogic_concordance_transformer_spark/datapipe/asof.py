@@ -40,9 +40,11 @@ def asof_join(
     post-window projection: the plan shape (one shuffle) is unchanged.
 
     ``direction``: 'backward' (default: greatest ``right.on <=
-    left.on``) or 'forward' (smallest ``right.on >= left.on``) — the
-    forward join is the backward join over the negated timeline, so both
-    directions share the identical one-shuffle window plan.
+    left.on``), 'forward' (smallest ``right.on >= left.on``), or
+    'nearest' (whichever of the two is closer; backward wins exact
+    ties, pandas' rule). Forward is the backward join over the negated
+    timeline, so both share the identical one-shuffle window plan;
+    nearest composes the two (two window passes) and picks per row.
 
     Tie-break among multiple right rows sharing the same ``(by, on)``:
     the row with the greatest ``seq_col`` wins. When ``seq_col`` is None
@@ -52,8 +54,49 @@ def asof_join(
     table scan is); pass an explicit ``seq_col`` for an order guarantee
     that survives arbitrary upstream shuffles.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"asof_join: direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
+    if direction == "nearest":
+        # run both directions and pick the closer match per row; backward
+        # wins exact-distance ties (pandas merge_asof semantics). The two
+        # matched structs null/fill atomically, so the pick cannot tear.
+        # A generated row id keys the recombination so duplicate (by, on)
+        # left rows cannot cross-multiply.
+        # lineage cut: the id must be assigned ONCE — two independent
+        # executions of monotonically_increasing_id could differ if the
+        # source repartitions between them
+        lid = left.withColumn(
+            "_rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+        bwd = asof_join(
+            lid, right, on=on, by=by, value_cols=value_cols,
+            prefix="_b_", seq_col=seq_col, tolerance=tolerance,
+            direction="backward",
+        )
+        vcols = [c[len("_b_"):] for c in bwd.columns if c.startswith("_b_")]
+        fwd = asof_join(
+            lid, right, on=on, by=by,
+            value_cols=[c for c in vcols if c != on],
+            prefix="_f_", seq_col=seq_col, tolerance=tolerance,
+            direction="forward",
+        ).select("_rid", *[f"_f_{c}" for c in vcols])
+        both = bwd.join(fwd, "_rid")
+        d_b = F.col(on) - F.col(f"_b_{on}")
+        d_f = F.col(f"_f_{on}") - F.col(on)
+        use_b = F.col(f"_f_{on}").isNull() | (
+            F.col(f"_b_{on}").isNotNull() & (d_b <= d_f)
+        )
+        return both.select(
+            *[c for c in bwd.columns if not c.startswith("_b_") and c != "_rid"],
+            *[
+                F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")).alias(
+                    f"{prefix}{c}"
+                )
+                for c in vcols
+            ],
+        )
     if direction == "forward":
         # mirror the timeline: forward-asof(on) == backward-asof(-on)
         # (requires a numeric ``on``; negation of int64/double is exact).

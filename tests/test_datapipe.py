@@ -816,8 +816,52 @@ def test_asof_join_forward_matches_pandas(spark):
     with _pytest.raises(ValueError, match="direction"):
         asof_join(
             spark.createDataFrame(lpd), spark.createDataFrame(rpd),
-            on="ts", by=["user"], direction="nearest",
+            on="ts", by=["user"], direction="sideways",
         )
+
+
+def test_asof_join_nearest_matches_pandas(spark):
+    # direction='nearest': closer of backward/forward, backward wins ties
+    import pandas as pd
+
+    from smartlogic_concordance_transformer_spark.datapipe.asof import asof_join
+
+    rng = np.random.default_rng(19)
+    lpd = pd.DataFrame({
+        "user": rng.integers(0, 3, 40).astype(str),
+        "ts": rng.integers(0, 100, 40).astype("int64"),
+    }).drop_duplicates(["user", "ts"])
+    rpd = pd.DataFrame({
+        "user": rng.integers(0, 3, 25).astype(str),
+        "ts": rng.integers(0, 100, 25).astype("int64"),
+        "v": rng.normal(size=25),
+    }).drop_duplicates(["user", "ts"])
+    for tol in (None, 7):
+        want = pd.merge_asof(
+            lpd.sort_values("ts"), rpd.sort_values("ts"),
+            on="ts", by="user", direction="nearest", tolerance=tol,
+            suffixes=("", "_r"),
+        )
+        got = {
+            (x.user, x.ts): (x.asof_ts, x.asof_v)
+            for x in asof_join(
+                spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                on="ts", by=["user"], direction="nearest", tolerance=tol,
+            ).collect()
+        }
+        assert len(got) == len(lpd)  # no row duplication from the recombine join
+        for _, row in want.iterrows():
+            g_ts, g_v = got[(row.user, row.ts)]
+            if pd.isna(row.v):
+                assert g_v is None, (tol, row.user, row.ts, g_v)
+            else:
+                assert g_v is not None and abs(g_v - row.v) < 1e-12, (tol, row.user, row.ts)
+
+    # explicit equidistant tie: backward wins (pandas rule, verified)
+    l1 = spark.createDataFrame([(10,)], "ts long")
+    r1 = spark.createDataFrame([(5, 1.0), (15, 2.0)], "ts long, v double")
+    row = asof_join(l1, r1, on="ts", direction="nearest").collect()[0]
+    assert row.asof_ts == 5 and row.asof_v == 1.0
 
 
 def test_asof_join_tolerance_matches_pandas(spark):
