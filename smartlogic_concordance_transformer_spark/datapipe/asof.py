@@ -58,12 +58,18 @@ def asof_join(
         raise ValueError(
             f"asof_join: direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
         )
+    if tolerance is not None and not tolerance > 0:
+        # pandas merge_asof raises here too; a negative tolerance would
+        # otherwise silently null every match
+        raise ValueError(f"asof_join: tolerance must be positive, got {tolerance!r}")
     if direction == "nearest":
         # run both directions and pick the closer match per row; backward
         # wins exact-distance ties (pandas merge_asof semantics). The two
         # matched structs null/fill atomically, so the pick cannot tear.
         # A generated row id keys the recombination so duplicate (by, on)
         # left rows cannot cross-multiply.
+        if "_rid" in left.columns or "_rid" in right.columns:
+            raise ValueError("asof_join: '_rid' is reserved for direction='nearest'")
         # lineage cut: the id must be assigned ONCE — two independent
         # executions of monotonically_increasing_id could differ if the
         # source repartitions between them
@@ -75,7 +81,9 @@ def asof_join(
             prefix="_b_", seq_col=seq_col, tolerance=tolerance,
             direction="backward",
         )
-        vcols = [c[len("_b_"):] for c in bwd.columns if c.startswith("_b_")]
+        # the matched columns are exactly what the recursion ADDED — a
+        # left column that happens to start with "_b_" stays untouched
+        vcols = [c[len("_b_"):] for c in bwd.columns if c not in lid.columns]
         fwd = asof_join(
             lid, right, on=on, by=by,
             value_cols=[c for c in vcols if c != on],
@@ -89,7 +97,7 @@ def asof_join(
             F.col(f"_b_{on}").isNotNull() & (d_b <= d_f)
         )
         return both.select(
-            *[c for c in bwd.columns if not c.startswith("_b_") and c != "_rid"],
+            *[c for c in left.columns],
             *[
                 F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")).alias(
                     f"{prefix}{c}"
@@ -100,22 +108,37 @@ def asof_join(
     if direction == "forward":
         # mirror the timeline: forward-asof(on) == backward-asof(-on)
         # (requires a numeric ``on``; negation of int64/double is exact).
-        # The matched timestamp is un-negated on the way out; output
-        # column order matches the backward form.
+        # The seq is ALSO negated: backward keeps the greatest seq among
+        # same-(by, on) right duplicates (pandas keep-LAST rule), and
+        # pandas forward keeps the FIRST duplicate — mirroring the seq
+        # makes smallest-original-seq win. Matched timestamp un-negated
+        # on the way out; output column order matches the backward form.
         neg_on = f"_neg_{on}"
+        if neg_on in left.columns or neg_on in right.columns or "_negseq" in right.columns:
+            raise ValueError(
+                f"asof_join: {neg_on!r}/'_negseq' are reserved for direction='forward'"
+            )
+        seq = F.col(seq_col).cast("long") if seq_col else F.monotonically_increasing_id()
         l_neg = left.withColumn(neg_on, -F.col(on)).drop(on)
-        r_neg = right.withColumn(neg_on, -F.col(on)).drop(on)
+        r_neg = (
+            right.withColumn(neg_on, -F.col(on))
+            .withColumn("_negseq", -seq)
+            .drop(on, *([seq_col] if seq_col else []))
+        )
         out = asof_join(
             l_neg, r_neg, on=neg_on, by=by,
-            value_cols=value_cols, prefix=prefix, seq_col=seq_col,
+            value_cols=value_cols, prefix=prefix, seq_col="_negseq",
             tolerance=tolerance, direction="backward",
         )
         lt = left.schema[on].dataType
+        matched = [c for c in out.columns if c not in l_neg.columns]
         return out.select(
-            *[c for c in left.columns if c != on],
-            (-F.col(neg_on)).cast(lt).alias(on),
+            *[
+                (-F.col(neg_on)).cast(lt).alias(on) if c == on else F.col(c)
+                for c in left.columns
+            ],
             (-F.col(f"{prefix}{neg_on}")).cast(lt).alias(f"{prefix}{on}"),
-            *[c for c in out.columns if c.startswith(prefix) and c != f"{prefix}{neg_on}"],
+            *[c for c in matched if c != f"{prefix}{neg_on}"],
         )
 
     by = list(by or [])

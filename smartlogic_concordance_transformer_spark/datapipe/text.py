@@ -409,6 +409,19 @@ def fingerprint(text: Column | str) -> Column:
     return F.sha2(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))), 256)
 
 
+def _winnow_gram_hashes(c: Column, k: int, gram_hash) -> Column:
+    """Char k-gram hash array over the normalized text — the shared
+    builder for both winnowing forms, so gram normalization cannot drift
+    between them (the equality test pins it)."""
+    if gram_hash is None:
+        gram_hash = F.xxhash64
+    norm = F.lower(F.regexp_replace(c, r"\s+", " "))
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: gram_hash(F.substring(norm, i, k))
+    )
+
+
 def winnow_fingerprint_sets(
     df: DataFrame,
     text_col: str = "text",
@@ -430,15 +443,8 @@ def winnow_fingerprint_sets(
     via an inferred size>0 filter — same trap as ``flag_contaminated``).
     Zero shuffle, zero UDF either way.
     """
-    if gram_hash is None:
-        gram_hash = F.xxhash64
     c = F.coalesce(F.col(text_col), F.lit(""))
-    norm = F.lower(F.regexp_replace(c, r"\s+", " "))
-    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: gram_hash(F.substring(norm, i, k))
-    )
-    two = df.select(key_col, gram_hashes.alias("_gh"))
+    two = df.select(key_col, _winnow_gram_hashes(c, k, gram_hash).alias("_gh"))
     n_windows = F.greatest(F.size("_gh") - F.lit(window - 1), F.lit(1))
     fps = F.array_distinct(
         F.transform(
@@ -466,14 +472,8 @@ def winnowing_fingerprints(
     window lambda and re-evaluated per window (O(n^2) hash calls on long
     documents). Use ``winnow_fingerprint_sets`` for corpus-scale runs; this
     form exists for expression composition on short strings."""
-    if gram_hash is None:
-        gram_hash = F.xxhash64
     c = F.col(text) if isinstance(text, str) else text
-    norm = F.lower(F.regexp_replace(c, r"\s+", " "))
-    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: gram_hash(F.substring(norm, i, k))
-    )
+    gram_hashes = _winnow_gram_hashes(c, k, gram_hash)
     n_windows = F.greatest(F.size(gram_hashes) - F.lit(window - 1), F.lit(1))
     return F.array_distinct(
         F.transform(

@@ -818,6 +818,52 @@ def test_asof_join_forward_matches_pandas(spark):
             spark.createDataFrame(lpd), spark.createDataFrame(rpd),
             on="ts", by=["user"], direction="sideways",
         )
+    with _pytest.raises(ValueError, match="tolerance"):
+        asof_join(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+            on="ts", by=["user"], tolerance=-5,
+        )
+
+
+def test_asof_join_forward_duplicate_right_rows(spark):
+    # pandas forward keeps the FIRST duplicate right row at an equal ts
+    # (backward keeps the LAST) — the negated-timeline reduction must
+    # mirror the seq too, or the last dup wins in both directions
+    import pandas as pd
+
+    from smartlogic_concordance_transformer_spark.datapipe.asof import asof_join
+
+    lpd = pd.DataFrame({"ts": pd.array([3, 7], dtype="int64")})
+    rpd = pd.DataFrame({"ts": pd.array([5, 5], dtype="int64"), "v": [1.0, 2.0]})
+    want = pd.merge_asof(lpd, rpd, on="ts", direction="forward")
+    assert want.v.iloc[0] == 1.0 and pd.isna(want.v.iloc[1])  # pandas rule, pinned
+    got = {
+        r.ts: r.asof_v
+        for r in asof_join(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+            on="ts", direction="forward",
+        ).collect()
+    }
+    assert got[3] == 1.0 and got[7] is None
+    # backward at the same data keeps the LAST duplicate
+    want_b = pd.merge_asof(lpd, rpd, on="ts", direction="backward")
+    got_b = {
+        r.ts: r.asof_v
+        for r in asof_join(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+            on="ts", direction="backward",
+        ).collect()
+    }
+    assert got_b[7] == want_b.v.iloc[1] == 2.0
+    # column order parity between directions (positional consumers)
+    cols_b = asof_join(
+        spark.createDataFrame(lpd), spark.createDataFrame(rpd), on="ts"
+    ).columns
+    cols_f = asof_join(
+        spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+        on="ts", direction="forward",
+    ).columns
+    assert cols_b == cols_f
 
 
 def test_asof_join_nearest_matches_pandas(spark):
