@@ -73,9 +73,12 @@ def timed_pipeline_split(q, spark, sf_dir) -> dict:
     compile_acc = [0.0]
     orig = cdf.DataFrame.localCheckpoint
 
-    def timed(self, eager=True):
+    def timed(self, *args, **kwargs):
+        # signature-transparent forward: Spark 4's localCheckpoint also
+        # takes an optional storageLevel — a positional wrapper would
+        # TypeError on callers passing it while the patch is active
         t = time.time()
-        out = orig(self, eager=eager)
+        out = orig(self, *args, **kwargs)
         compile_acc[0] += time.time() - t
         return out
 

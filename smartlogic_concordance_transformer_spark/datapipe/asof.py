@@ -58,10 +58,40 @@ def asof_join(
         raise ValueError(
             f"asof_join: direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
         )
-    if tolerance is not None and not tolerance > 0:
-        # pandas merge_asof raises here too; a negative tolerance would
-        # otherwise silently null every match
-        raise ValueError(f"asof_join: tolerance must be positive, got {tolerance!r}")
+    if tolerance is not None and tolerance < 0:
+        # pandas merge_asof rejects only NEGATIVE tolerance (zero means
+        # exact-timestamp matches only) — same rule here; a negative
+        # bound would otherwise silently null every match
+        raise ValueError(f"asof_join: tolerance must be non-negative, got {tolerance!r}")
+    by = list(by or [])
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c != on and c not in by and c != seq_col]
+    # output-collision check runs UP FRONT for every direction: the
+    # forward/nearest reductions rename columns before recursing, so the
+    # recursion's own check only sees the renamed frames ('_neg_'/'_b_'/
+    # '_f_' names) and a left column that equals an output name (e.g.
+    # 'asof_ts') would silently emit a duplicate column in the final
+    # select instead of raising like the backward base case
+    collide = {f"{prefix}{c}" for c in [on, *value_cols]}.intersection(left.columns)
+    if collide:
+        raise ValueError(
+            f"asof_join: output column(s) {sorted(collide)} collide with left frame "
+            f"columns; pass a different prefix"
+        )
+    if direction in ("forward", "nearest"):
+        # both reductions negate the timeline; negation of a timestamp
+        # would fail deep inside the plan with an opaque analyzer error —
+        # validate here with an actionable message
+        from pyspark.sql.types import NumericType
+
+        lt = left.schema[on].dataType
+        if not isinstance(lt, NumericType):
+            raise TypeError(
+                f"asof_join: direction={direction!r} requires a numeric 'on' "
+                f"column (the negated-timeline reduction), got "
+                f"{lt.simpleString()}; pre-cast timestamps, e.g. "
+                "unix_micros(col)"
+            )
     if direction == "nearest":
         # run both directions and pick the closer match per row; backward
         # wins exact-distance ties (pandas merge_asof semantics). The two
@@ -141,10 +171,6 @@ def asof_join(
             *[c for c in matched if c != f"{prefix}{neg_on}"],
         )
 
-    by = list(by or [])
-    if value_cols is None:
-        value_cols = [c for c in right.columns if c != on and c not in by and c != seq_col]
-
     reserved = {"_side", "_r", "_seq"}
     for df_name, cols in (("left", left.columns), ("right", right.columns)):
         bad = reserved.intersection(cols)
@@ -152,12 +178,6 @@ def asof_join(
             raise ValueError(
                 f"asof_join: {df_name} frame uses reserved internal column(s) {sorted(bad)}"
             )
-    collide = {f"{prefix}{c}" for c in [on, *value_cols]}.intersection(left.columns)
-    if collide:
-        raise ValueError(
-            f"asof_join: output column(s) {sorted(collide)} collide with left frame "
-            f"columns; pass a different prefix"
-        )
 
     # ALL right-row values ride in ONE struct: last-non-null over the
     # struct picks the whole matched row atomically. Filling each column

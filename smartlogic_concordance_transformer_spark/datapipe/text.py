@@ -179,15 +179,17 @@ def repetition_stats(
     per document, the duplicate-word / duplicate-line / duplicate-
     paragraph fractions plus, for each n in ``ns``, the fraction of all
     word n-grams taken by the single most frequent n-gram, plus, for
-    each n in ``char_dup_ns``, the fraction of characters in DUPLICATED
-    n-grams (the second half of the A1 table, conventionally n=5..10).
+    each n in ``char_dup_ns``, an A1-STYLE PROXY for the "fraction of
+    characters in duplicated n-grams" columns (conventionally n=5..10).
     High values flag boilerplate/spam/keyword-stuffed documents before
     pretraining.
 
-    The char-duplicate fraction weights gram counts by gram character
-    length (the explode-friendly form of "characters in duplicated
-    n-grams"): occurrences beyond the first of each gram count as
-    duplicated, so
+    The char-duplicate proxy weights gram counts by gram character
+    length — occurrences beyond the first of each gram count as
+    duplicated. This is NOT Rae et al.'s exact metric (which counts
+    UNIQUE character positions covered by duplicated n-grams, so
+    overlapping duplicated grams are not double-counted); thresholds
+    tuned on published A1 values do not transfer 1:1. Formally
 
         dup_{n}gram_char_frac =
             sum_{g: c_g > 1} (c_g - 1) * chars(g) / sum_g c_g * chars(g)

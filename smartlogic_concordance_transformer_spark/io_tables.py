@@ -193,18 +193,27 @@ class StageMaterializer:
 
     A rerun over the same root REUSES every stage whose ledger entry is
     ``done`` — the pipeline resumes from the first unpersisted stage
-    instead of recomputing the cascade from the raw corpus. Resume
-    assumes the input corpus and stage parameters are unchanged (the
-    ledger keys on stage name only); point a changed run at a fresh root.
+    instead of recomputing the cascade from the raw corpus.
+
+    ``fingerprint``: a caller-supplied digest of the run's inputs and
+    parameters (any stable string — e.g. sha256 over the corpus path +
+    the pipeline kwargs). It is recorded in every ledger entry, and
+    resume REFUSES a stage whose recorded fingerprint differs from this
+    run's — silently reusing stages persisted under different params or
+    a different corpus would return wrong results with no signal. With
+    ``fingerprint=None`` (default) only None-stamped entries are reused,
+    so a fingerprinted root is never consumed by an unfingerprinted run
+    either.
 
     ``reused``/``computed`` record which path each stage took — test and
     observability hooks, not control flow. At 100 TB these parquet dirs
     ARE the intermediate tables the module docstring promises (swap the
     write for an Iceberg writer on a real deployment)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, fingerprint: str | None = None):
         self.spark = spark
         self.root = root
+        self.fingerprint = fingerprint
         self.ledger = StageLedger(root)
         self.reused: list[str] = []
         self.computed: list[str] = []
@@ -212,15 +221,48 @@ class StageMaterializer:
     def __call__(self, df: DataFrame, stage: str) -> DataFrame:
         path = os.path.join(self.root, stage)
         if stage in self.ledger.done_stages():
+            prior = next(
+                (
+                    e.get("fingerprint")
+                    for e in self.ledger.entries()
+                    if e.get("stage") == stage
+                ),
+                None,
+            )
+            if prior != self.fingerprint:
+                raise ValueError(
+                    f"StageMaterializer: stage {stage!r} at {self.root} was "
+                    f"persisted with fingerprint {prior!r} but this run's is "
+                    f"{self.fingerprint!r} — the input corpus or pipeline "
+                    "params changed; point the run at a fresh root (or delete "
+                    "the stale stage dir + ledger entry)"
+                )
             self.reused.append(stage)
             return self.spark.read.parquet(path)
         t0 = time.time()
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
-        # count the WRITTEN files (cheap metadata-ish scan), not df —
-        # one computation of the stage, not two
+        # row count from the written parquet FOOTERS — pure driver-side
+        # metadata, no second scan of the persisted stage (at 100 TB a
+        # post-write count() would re-read every stage table once)
+        rows = _parquet_footer_rows(path)
         self.ledger.record(
-            stage, rows=out.count(), duration_sec=round(time.time() - t0, 3)
+            stage,
+            rows=rows,
+            fingerprint=self.fingerprint,
+            duration_sec=round(time.time() - t0, 3),
         )
         self.computed.append(stage)
         return out
+
+
+def _parquet_footer_rows(path: str) -> int:
+    """Sum of row counts from the parquet file footers under ``path`` —
+    metadata reads only, no data scan."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(os.path.join(path, name)).num_rows
+        for name in os.listdir(path)
+        if name.endswith(".parquet")
+    )

@@ -947,3 +947,54 @@ def test_asof_join_tolerance_matches_pandas(spark):
         else:
             assert g_v is not None and abs(g_v - row.v) < 1e-12
             assert g_ts is not None and row.ts - g_ts <= 10
+
+
+def test_asof_join_tolerance_zero_and_validation(spark):
+    # tolerance=0 means exact-timestamp matches only — pandas merge_asof
+    # accepts 0 and rejects only negatives (verified), so parity demands
+    # the same here (the r5 ADVICE item: `not tolerance > 0` rejected 0)
+    import pandas as pd
+
+    from smartlogic_concordance_transformer_spark.datapipe.asof import asof_join
+
+    lpd = pd.DataFrame({"ts": pd.array([3, 5, 9], dtype="int64")})
+    rpd = pd.DataFrame({"ts": pd.array([3, 8], dtype="int64"), "v": [1.0, 2.0]})
+    want = pd.merge_asof(lpd, rpd, on="ts", tolerance=0)
+    got = {
+        r.ts: r.asof_v
+        for r in asof_join(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+            on="ts", tolerance=0,
+        ).collect()
+    }
+    for _, row in want.iterrows():
+        if pd.isna(row.v):
+            assert got[row.ts] is None
+        else:
+            assert got[row.ts] == row.v
+
+    # output-name collision raises UP FRONT for every direction — the r5
+    # ADVICE gap: forward/nearest validated only the RENAMED recursion
+    # frames, so a left column named like an output (asof_v) silently
+    # produced a duplicate output column instead of the backward path's
+    # ValueError
+    l2 = spark.createDataFrame([(1, 0.0)], "ts long, asof_v double")
+    r2 = spark.createDataFrame([(1, 1.0)], "ts long, v double")
+    for direction in ("backward", "forward", "nearest"):
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(l2, r2, on="ts", direction=direction)
+
+    # forward/nearest require a numeric on column (negated-timeline
+    # reduction): a timestamp must fail fast with an actionable message,
+    # not a deep analyzer error from negating a timestamp
+    lt = spark.createDataFrame([("2024-01-01 00:00:00",)], "s string").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    rt = spark.createDataFrame([("2024-01-01 00:00:00", 1.0)], "s string, v double").select(
+        F.col("s").cast("timestamp").alias("ts"), "v"
+    )
+    for direction in ("forward", "nearest"):
+        with pytest.raises(TypeError, match="numeric"):
+            asof_join(lt, rt, on="ts", direction=direction)
+    # backward needs no reduction, so timestamps keep working
+    assert asof_join(lt, rt, on="ts").collect()[0].asof_v == 1.0

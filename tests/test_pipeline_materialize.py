@@ -109,3 +109,30 @@ def test_orphaned_data_dir_is_overwritten(spark, corpus, tmp_path):
     got = _run(docs, bench, materialize=orphan)
     assert got == expected
     assert "cleaned" in orphan.computed and orphan.reused == []
+
+
+def test_fingerprint_mismatch_refuses_stale_stages(spark, corpus, tmp_path):
+    # a rerun over the same root with changed params/input must NOT
+    # silently reuse persisted stages (the r5 ADVICE item: the ledger
+    # keyed on stage name only) — the fingerprint stamps every entry and
+    # resume refuses on mismatch
+    docs, bench = corpus
+    root = str(tmp_path / "stages")
+    first = StageMaterializer(spark, root, fingerprint="params-v1")
+    _run(docs, bench, materialize=first)
+    assert all(e["fingerprint"] == "params-v1" for e in first.ledger.entries())
+
+    # same fingerprint: resume reuses everything
+    again = StageMaterializer(spark, root, fingerprint="params-v1")
+    _run(docs, bench, materialize=again)
+    assert again.computed == [] and len(again.reused) == 7
+
+    # changed fingerprint: refuse, naming both fingerprints
+    changed = StageMaterializer(spark, root, fingerprint="params-v2")
+    with pytest.raises(ValueError, match="params-v1.*params-v2"):
+        _run(docs, bench, materialize=changed)
+
+    # an unfingerprinted run must not consume a fingerprinted root either
+    unfp = StageMaterializer(spark, root)
+    with pytest.raises(ValueError, match="fingerprint"):
+        _run(docs, bench, materialize=unfp)
