@@ -847,6 +847,36 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nearest as-of: each click gets the view CLOSEST in time, before or
+    # after, backward winning exact ties (pandas merge_asof
+    # direction='nearest'). Engine: two one-shuffle window passes + a
+    # rid-keyed recombine; oracle: DuckDB backward ASOF (l.ts >= r.ts)
+    # composed with forward ASOF (l.ts <= r.ts) and a per-row pick.
+    # Unambiguous because (user_id, ts) is unique within clicks and
+    # views at the oracle SFs (asserted by
+    # tests/test_oracle_preconditions.py) — duplicate right timestamps
+    # would make DuckDB's pick among them arbitrary.
+    from smartlogic_concordance_transformer_spark.datapipe.asof import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    l = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("ts"), F.col("value").alias("click_value")
+    )
+    r = ev.filter(F.col("event_type") == "view").select(
+        "user_id", us.alias("ts"), F.col("value").alias("view_value")
+    )
+    out = asof_join(l, r, on="ts", by=["user_id"], direction="nearest")
+    return out.select(
+        "user_id",
+        F.col("ts").alias("click_us"),
+        "click_value",
+        F.col("asof_ts").alias("view_us"),
+        F.col("asof_view_value").alias("view_value_near"),
+    )
+
+
 def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     return (
@@ -1049,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "asof_join": q_asof_join,
         "asof_tolerance": q_asof_tolerance,
+        "asof_nearest": q_asof_nearest,
         "agg_pricing": q_agg_pricing,
         "join_top_customers": q_join_top_customers,
         "window_topk": q_window_topk,
@@ -1886,6 +1917,25 @@ def oracle_sql() -> dict[str, str]:
                  case when click_us - view_us <= 1800000000 then view_us end as view_us,
                  case when click_us - view_us <= 1800000000 then view_value end as view_value_prev
           from m
+        """,
+        "asof_nearest": """
+          with l as (select user_id, epoch_us(ts) as ts, value as click_value
+                     from events where event_type = 'click'),
+               r as (select user_id, epoch_us(ts) as ts, value as view_value
+                     from events where event_type = 'view'),
+          b as (select l.user_id, l.ts, l.click_value,
+                       r.ts as bts, r.view_value as bval
+                from l asof left join r on l.user_id = r.user_id and l.ts >= r.ts),
+          f as (select l.user_id, l.ts, r.ts as fts, r.view_value as fval
+                from l asof left join r on l.user_id = r.user_id and l.ts <= r.ts)
+          select b.user_id, b.ts as click_us, b.click_value,
+                 case when f.fts is null
+                        or (b.bts is not null and b.ts - b.bts <= f.fts - b.ts)
+                      then b.bts else f.fts end as view_us,
+                 case when f.fts is null
+                        or (b.bts is not null and b.ts - b.bts <= f.fts - b.ts)
+                      then b.bval else f.fval end as view_value_near
+          from b join f on b.user_id = f.user_id and b.ts = f.ts
         """,
         "sim_topk": """
           with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5),

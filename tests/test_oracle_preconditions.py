@@ -179,3 +179,27 @@ def test_sim_ivf_float_separation():
             f"scores within {score_gap:.2e} — sim_ivf top-k order may "
             "differ across engines"
         )
+
+
+def test_events_click_view_timestamps_unique_per_user():
+    """asof_join / asof_tolerance / asof_nearest hash equality rests on
+    (user_id, ts) being UNIQUE within clicks and within views: duplicate
+    right timestamps would make DuckDB's ASOF pick among them arbitrary
+    while the engine picks deterministically by input order (and nearest's
+    backward/forward composition would diverge the same way)."""
+    p = os.path.join(SF_DIR, "events.parquet")
+    if not os.path.exists(p):
+        pytest.skip("events corpus not present")
+    con = duckdb.connect()
+    dups = con.execute(f"""
+      select event_type, count(*) from (
+        select event_type, user_id, ts, count(*) as c
+        from read_parquet('{p}')
+        where event_type in ('click', 'view')
+        group by 1, 2, 3 having count(*) > 1)
+      group by 1
+    """).fetchall()
+    assert dups == [], (
+        f"duplicate (user_id, ts) rows in {dups} — the ASOF oracles' pick "
+        "among equal timestamps is undefined; regenerate or re-key the corpus"
+    )
