@@ -393,6 +393,39 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the MOSS-style partial-overlap detector end-to-end: winnowing
+    # fingerprint sets (portable md5 gram hash) -> fingerprint-bucket
+    # candidate pairs with the max_df noise rule -> containment. Planted
+    # partial overlaps: every 20th doc gets a +500000 twin sharing ONLY
+    # its first 200 chars (distinct tail) — the shape winnowing exists
+    # for, which whole-document Jaccard would miss. Both sides compute
+    # the EXACT shared-fingerprint counts (no LSH approximation), so any
+    # threshold is decision-stable; the oracle join is all-pairs-capable
+    # where the engine buckets by fingerprint.
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        md5_token_hash,
+        winnow_candidate_pairs,
+    )
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        winnow_fingerprint_sets,
+    )
+
+    d = _spread(spark, _docs(spark, sf_dir)).select("doc_id", "text")
+    part = d.filter(F.pmod("doc_id", 20) == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 200),
+            F.lit(" tail marker for doc "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    sets = winnow_fingerprint_sets(
+        d.unionByName(part), k=8, window=4, gram_hash=md5_token_hash
+    )
+    return winnow_candidate_pairs(sets, min_shared=5, max_df=5)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operator composition: near-dup pairs (MinHash->LSH->Jaccard, same
     # construction as dedup_lsh_verified) -> connected components ->
@@ -1054,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
@@ -1438,11 +1472,13 @@ def _repetition_oracle() -> str:
     """
 
 
-def _winnow_oracle() -> str:
-    """Independent rebuild of the md5-gram-hash winnowing set: per char
-    8-gram the 60-bit hash is reassembled digit-by-digit from md5 hex
-    (shift-add, same construction the simhash oracle proves), then min
-    per sliding 4-window, then distinct + unnest."""
+def _winnow_sets_cte(src: str) -> str:
+    """The shared winnowing-fingerprint-set CTE chain over relation
+    ``src`` (doc_id, text) -> ``w`` (doc_id, fps): per char 8-gram the
+    60-bit hash is reassembled digit-by-digit from md5 hex (shift-add,
+    same construction the simhash oracle proves), then min per sliding
+    4-window, then distinct. Used by the text_winnow and
+    dedup_winnow_pairs oracles so gram/window semantics cannot drift."""
     # md5 hoisted to its own transform so each gram hashes ONCE; the
     # digit shift-add then reads the precomputed hex (15x fewer md5
     # calls than inlining md5(g) in the digit lambda — 172s -> ~40s on
@@ -1453,9 +1489,9 @@ def _winnow_oracle() -> str:
         "<< (4*(14-j))))) as bigint)"
     )
     return f"""
-      with norm as (
+      norm as (
         select doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) as t
-        from documents),
+        from {src}),
       gh as (
         select doc_id,
                list_transform(
@@ -1470,8 +1506,43 @@ def _winnow_oracle() -> str:
                list_distinct(list_transform(
                  range(1, greatest(len(hs) - 3, 1) + 1),
                  i -> list_min(hs[i:i+3]))) as fps
-        from gh)
+        from gh)"""
+
+
+def _winnow_oracle() -> str:
+    """Independent rebuild of the md5-gram-hash winnowing fingerprint
+    sets, one row per distinct fingerprint."""
+    return f"""
+      with {_winnow_sets_cte("documents")}
       select doc_id, unnest(fps) as fp from w
+    """
+
+
+def _winnow_pairs_oracle() -> str:
+    """All-pairs rebuild of the MOSS-style overlap detector: winnow
+    fingerprint sets over the corpus-with-planted-prefix-twins, drop
+    fingerprints in more than 5 docs (max_df), count shared
+    fingerprints per pair with a plain O(n^2)-capable join (oracles
+    don't need to scale), containment over the PRE-drop set sizes."""
+    corpus = """(
+        select doc_id, text from documents
+        union all
+        select doc_id + 500000 as doc_id,
+               substr(text, 1, 200) || ' tail marker for doc '
+                 || cast(doc_id as varchar) as text
+        from documents where doc_id % 20 = 0)"""
+    return f"""
+      with {_winnow_sets_cte(corpus)},
+      e0 as (select doc_id, len(fps) as n, unnest(fps) as fp from w),
+      keep as (select fp from e0 group by fp having count(*) <= 5),
+      e as (select e0.* from e0 join keep using (fp)),
+      p as (select a.doc_id as a, b.doc_id as b, a.n as na, b.n as nb,
+                   count(*) as c
+            from e a join e b on a.fp = b.fp and a.doc_id < b.doc_id
+            group by 1, 2, 3, 4)
+      select a, b, c as n_shared,
+             round(c * 1.0 / least(na, nb), 6) as containment
+      from p where c >= 5
     """
 
 
@@ -2022,6 +2093,7 @@ def oracle_sql() -> dict[str, str]:
           from p
         """,
         "text_winnow": _winnow_oracle(),
+        "dedup_winnow_pairs": _winnow_pairs_oracle(),
         "pipeline_e2e": _pipeline_e2e_oracle(),
         "split_assign": """
           select doc_id,

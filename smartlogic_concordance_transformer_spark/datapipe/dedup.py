@@ -229,6 +229,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_candidate_pairs(
+    fps: DataFrame,
+    key_col: str = "doc_id",
+    min_shared: int = 2,
+    max_df: int | None = None,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """MOSS-style partial-overlap candidates from winnowing fingerprint
+    sets (``text.winnow_fingerprint_sets``): (a, b, n_shared,
+    containment) for document pairs sharing at least ``min_shared``
+    fingerprints, with containment = n_shared / min(|fps_a|, |fps_b|)
+    for downstream thresholding — the consumer the fingerprint sets
+    exist for (Schleimer et al. SIGMOD'03 §4).
+
+    Scale shape: each fingerprint IS the bucket key — the self-join is
+    a hash join on fp, so work is proportional to per-fingerprint
+    collision counts, never all-pairs. ``max_df`` is the MOSS noise
+    rule: fingerprints appearing in more than ``max_df`` documents are
+    dropped before pairing (boilerplate grams shared by thousands of
+    docs cost quadratic bucket blowup and carry no overlap signal).
+    The over-common set is found by one map-side-combinable count and
+    removed with a broadcast-sized anti-join (only the >max_df
+    fingerprints ship); set sizes for containment are taken BEFORE the
+    drop, so the denominator stays the true fingerprint-set size.
+
+    ``fps`` feeds both join sides; ``truncate_lineage`` cuts its
+    lineage once (same rule as the other candidate generators) — pass
+    False when the fingerprint table is already persisted/barriered.
+    """
+    if truncate_lineage:
+        fps = fps.localCheckpoint(eager=False)
+    # explode_OUTER: a plain explode over the named fps column gets an
+    # inferred size>0 filter that re-inlines the winnow tree (the
+    # flag_contaminated trap); fps is never empty (n_windows >= 1)
+    e = fps.select(
+        key_col, F.size("fps").alias("_n"), F.explode_outer("fps").alias("_fp")
+    )
+    if max_df is not None:
+        common = (
+            e.groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_fp")
+        )
+        e = e.join(F.broadcast(common), "_fp", "left_anti")
+    a = e.select(F.col(key_col).alias("a"), F.col("_n").alias("_na"), "_fp")
+    b = e.select(F.col(key_col).alias("b"), F.col("_n").alias("_nb"), "_fp")
+    return (
+        a.join(b, "_fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("_na", "_nb"), 6).alias("containment"),
+        )
+    )
+
+
 def md5_token_hash(t: Column) -> Column:
     """Portable 60-bit token hash: first 15 hex chars of md5, as a long.
     Slower than the default ``xxhash64`` but reproducible in any engine

@@ -148,3 +148,50 @@ def test_strip_boilerplate_uses_broadcast_antijoin(spark):
     # the recurring-line dictionary is broadcast; the big exploded side is
     # never shuffled for the anti-join
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_winnow_pairs_has_no_cartesian_product(spark):
+    # the MOSS-style overlap detector must pair documents through
+    # fingerprint buckets (hash join on fp) — an all-pairs product dies
+    # at corpus scale; the max_df anti-join must stay broadcast (only
+    # the over-common fingerprints ship to executors)
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_dedup_winnow_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_candidate_pairs_semantics(spark):
+    # hand-checkable fixture: doc 1/2 share two fingerprints {10, 20},
+    # 3 shares one with 1, fp 99 is in every doc (dropped by max_df=2);
+    # containment uses the PRE-drop set sizes
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        winnow_candidate_pairs,
+    )
+
+    fps = spark.createDataFrame(
+        [
+            (1, [10, 20, 30, 99]),
+            (2, [10, 20, 40, 99]),
+            (3, [30, 50, 99]),
+        ],
+        "doc_id long, fps array<long>",
+    )
+    rows = {
+        (r.a, r.b): (r.n_shared, r.containment)
+        for r in winnow_candidate_pairs(fps, min_shared=1, max_df=2).collect()
+    }
+    # fp 99 appears in 3 docs > max_df=2 -> dropped everywhere
+    assert rows[(1, 2)] == (2, round(2 / 4, 6))
+    assert rows[(1, 3)] == (1, round(1 / 3, 6))
+    assert (2, 3) not in rows  # shared only the dropped fp
+    # min_shared gate
+    only = winnow_candidate_pairs(fps, min_shared=2, max_df=2).collect()
+    assert [(r.a, r.b) for r in only] == [(1, 2)]
+    # without max_df the over-common fingerprint counts as shared
+    all_rows = {
+        (r.a, r.b): r.n_shared
+        for r in winnow_candidate_pairs(fps, min_shared=1).collect()
+    }
+    assert all_rows[(1, 2)] == 3 and all_rows[(2, 3)] == 1
