@@ -329,6 +329,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(fps).select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash parity for the daily-ingest shape (mirrors
+    # dedup_incremental): the existing corpus's fingerprint table is
+    # banded and probed ONCE — never self-joined — while a small new
+    # batch (one-token-perturbed twins of every 10th doc at +100000,
+    # byte-exact re-ingests of every 25th at +400000) is checked against
+    # existing docs and itself. The oracle is the all-pairs new-vs-all
+    # popcount join over independently rebuilt md5-kernel fingerprints,
+    # so it also re-proves the banding's exactness for hamming <= 3.
+    _ensure_shipped(spark)
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        simhash_incremental_candidates,
+    )
+
+    d = _spread(spark, _docs(spark, sf_dir)).select("doc_id", "text")
+    twins = d.filter(F.pmod("doc_id", 10) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qzx")).alias("text"),
+    )
+    copies = d.filter(F.pmod("doc_id", 25) == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"), "text"
+    )
+    base_fps = simhash(d, token_hash=md5_token_hash)
+    new_fps = simhash(twins.unionByName(copies), token_hash=md5_token_hash)
+    return simhash_incremental_candidates(new_fps, base_fps).select(
+        "a", "b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the REAL MinHash->LSH->Jaccard composition end-to-end: plant a
     # one-token-appended twin for every 10th doc, generate candidate pairs
@@ -1090,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_incremental": q_dedup_simhash_incremental,
         "dedup_embed": q_dedup_embed,
         "text_pii": q_text_pii,
         "text_boilerplate": q_text_boilerplate,
@@ -1180,13 +1210,19 @@ def _langid_oracle() -> str:
     """
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(
+    extra_corpus: str = "",
+    pair_cond: str = "a.doc_id < b.doc_id",
+) -> str:
     """Independent all-pairs rebuild of the md5-token-hash SimHash: per
     token the 60-bit hash is reassembled digit-by-digit from md5 hex
     (shift-add), the per-bit strict-majority vote is 60 integer sums, and
     near-dup pairs come from a full O(n^2) join + popcount filter — no
     banding, so the oracle also re-proves the banding's exactness for
-    hamming <= 3."""
+    hamming <= 3. ``extra_corpus`` appends further UNION ALL arms (the
+    incremental batch); ``pair_cond`` selects which (a, b) pairs are
+    reported (all-pairs by default, new-vs-all for the incremental
+    oracle)."""
     hexpr = (
         "cast(list_sum(list_transform(range(15), i -> "
         "((strpos('0123456789abcdef', substr(md5(w), i+1, 1)) - 1)::bigint "
@@ -1202,7 +1238,7 @@ def _simhash_oracle() -> str:
       with corpus as (
         select doc_id, text from documents
         union all
-        select doc_id + 100000, text || ' qzx' from documents where doc_id % 10 = 0),
+        select doc_id + 100000, text || ' qzx' from documents where doc_id % 10 = 0{extra_corpus}),
       tok as (
         select doc_id,
                unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) as w
@@ -1215,7 +1251,7 @@ def _simhash_oracle() -> str:
       ham as (
         select a.doc_id as a, b.doc_id as b,
                bit_count(xor(a.simhash, b.simhash)) as hamming
-        from fp a join fp b on a.doc_id < b.doc_id)
+        from fp a join fp b on ({pair_cond}))
       select a, b, cast(hamming as int) as hamming from ham where hamming <= 3
     """
 
@@ -1907,6 +1943,16 @@ def oracle_sql() -> dict[str, str]:
           where list_cosine_similarity(a.embedding, b.embedding) >= 0.99
         """,
         "dedup_simhash": _simhash_oracle(),
+        "dedup_simhash_incremental": _simhash_oracle(
+            extra_corpus=(
+                "\n        union all\n"
+                "        select doc_id + 400000, text from documents where doc_id % 25 = 0"
+            ),
+            pair_cond=(
+                "a.doc_id >= 100000 and (b.doc_id < 100000 or a.doc_id < b.doc_id) "
+                "and a.doc_id <> b.doc_id"
+            ),
+        ),
         "text_pii": _pii_oracle(),
         "text_boilerplate": """
           with src as (

@@ -385,15 +385,67 @@ def simhash_near_dups(
     ``truncate_lineage=False`` then to skip the redundant copy."""
     if truncate_lineage:
         fps = fps.localCheckpoint(eager=False)
+    banded = _simhash_banded(fps, key_col)
+    a = banded.select(F.col(key_col).alias("a"), F.col("simhash").alias("fa"), "band", "chunk")
+    b = banded.select(F.col(key_col).alias("b"), F.col("simhash").alias("fb"), "band", "chunk")
+    cand = a.join(b, ["band", "chunk"]).filter(F.col("a") < F.col("b")).select("a", "b", "fa", "fb").distinct()
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 3).select("a", "b", "hamming")
+
+
+def _simhash_banded(fps: DataFrame, key_col: str) -> DataFrame:
+    """(key, simhash, band, chunk) — one row per 16-bit fingerprint
+    chunk; the shared banding for the batch self-join and the
+    incremental probe (drift-proof by construction)."""
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
             for i in range(4)
         ]
     )
-    banded = fps.select(key_col, "simhash", F.posexplode(chunks).alias("band", "chunk"))
-    a = banded.select(F.col(key_col).alias("a"), F.col("simhash").alias("fa"), "band", "chunk")
-    b = banded.select(F.col(key_col).alias("b"), F.col("simhash").alias("fb"), "band", "chunk")
-    cand = a.join(b, ["band", "chunk"]).filter(F.col("a") < F.col("b")).select("a", "b", "fa", "fb").distinct()
+    return fps.select(key_col, "simhash", F.posexplode(chunks).alias("band", "chunk"))
+
+
+def simhash_incremental_candidates(
+    new_fps: DataFrame,
+    base_fps: DataFrame,
+    key_col: str = "doc_id",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Near-dup candidates for INCREMENTAL SimHash dedup — the
+    daily-ingest shape, mirroring ``minhash_incremental_candidates``:
+    each NEW document against the existing corpus AND the other new
+    documents. The persisted corpus fingerprint table is banded into
+    its 4x16-bit chunks and scanned ONCE as the probe side — never
+    self-joined, so per-batch work is O(new x collisions), not
+    O(existing²). Keys must be globally unique across both frames.
+
+    Returns (a, b, hamming) with hamming <= 3 (exact popcount over the
+    banding's pigeonhole candidates): ``a`` is a new key; ``b`` is an
+    existing key, or a new key with ``a < b`` (each new-new pair
+    reported once)."""
+    if truncate_lineage:
+        new_fps = new_fps.localCheckpoint(eager=False)
+    nb = _simhash_banded(new_fps, key_col)
+    probe = _simhash_banded(base_fps, key_col).select(
+        F.col(key_col).alias("b"), F.col("simhash").alias("fb"),
+        "band", "chunk", F.lit(False).alias("_bn"),
+    ).unionByName(
+        nb.select(
+            F.col(key_col).alias("b"), F.col("simhash").alias("fb"),
+            "band", "chunk", F.lit(True).alias("_bn"),
+        )
+    )
+    a = nb.select(F.col(key_col).alias("a"), F.col("simhash").alias("fa"), "band", "chunk")
+    cand = (
+        a.join(probe, ["band", "chunk"])
+        .filter((~F.col("_bn")) | (F.col("a") < F.col("b")))
+        .select("a", "b", "fa", "fb")
+        .distinct()
+    )
     hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
-    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 3).select("a", "b", "hamming")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("a", "b", "hamming")
+    )

@@ -998,3 +998,32 @@ def test_asof_join_tolerance_zero_and_validation(spark):
             asof_join(lt, rt, on="ts", direction=direction)
     # backward needs no reduction, so timestamps keep working
     assert asof_join(lt, rt, on="ts").collect()[0].asof_v == 1.0
+
+
+def test_simhash_incremental_candidates(spark):
+    # SimHash mirror of the daily-ingest shape: existing near-dup pairs
+    # must NOT be reported (no existing self-join), new-new pairs exactly
+    # once with a < b, every pair leads with the new key, and the base
+    # fingerprint table appears in the plan ONCE (the probe-side scan)
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        simhash,
+        simhash_incremental_candidates,
+    )
+
+    # long docs: a one/two-token perturbation of a 120-token doc moves
+    # only a few fingerprint bits (short docs would exceed hamming 3)
+    d1 = " ".join(f"alpha{i} beta{i}" for i in range(60))
+    d2 = " ".join(f"gamma{i} delta{i}" for i in range(60))
+    d3 = " ".join(f"omega{i} sigma{i}" for i in range(60))
+    base_rows = [(1, d1), (2, d2), (3, d2 + " zz")]
+    new_rows = [(101, d1 + " qq"), (102, d1 + " qq rr"), (103, d3)]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    cand = simhash_incremental_candidates(simhash(new), simhash(base))
+    pairs = {(r.a, r.b) for r in cand.collect()}
+    assert all(a >= 101 for a, _ in pairs)
+    assert (2, 3) not in pairs and (3, 2) not in pairs
+    assert (101, 1) in pairs and (102, 1) in pairs
+    assert (101, 102) in pairs and (102, 101) not in pairs
+    # hamming values are exact popcounts <= 3
+    assert all(0 <= r.hamming <= 3 for r in cand.collect())
