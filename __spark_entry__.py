@@ -653,6 +653,29 @@ def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = 8
+
+
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE merge-table learning (Sennrich et al. 2016) — the artifact a
+    # pretraining tokenizer trains. Engine: one corpus-sized token
+    # count, then 8 bounded driver iterations over the tiny vocabulary
+    # table (map-side-combinable pair counts + a single-row argmax
+    # collect each). Oracle: the SAME 8 iterations as programmatically
+    # generated chained CTEs — the left-to-right merge rewrite is a
+    # DuckDB list_reduce with a chr(30)-joined string accumulator
+    # (chr(30) verified absent from the corpus), ties broken (count
+    # desc, left, right) identically. Both sides are exact integer
+    # counting, so every rank/pair/count matches bit-for-bit.
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        learn_bpe_merges,
+    )
+
+    return learn_bpe_merges(
+        _spread(spark, _docs(spark, sf_dir)), n_merges=_BPE_MERGES, min_count=1
+    )
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # THE composition query: the full pretraining-data curation cascade
     # (hygiene -> quality/repetition gates -> exact + MinHash near-dedup
@@ -1134,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "text_winnow": q_text_winnow,
         "text_tokens_bpe": q_text_tokens_bpe,
+        "text_bpe_merges": q_text_bpe_merges,
         "pipeline_e2e": q_pipeline_e2e,
         "split_assign": q_split_assign,
         "split_stratified": q_split_stratified,
@@ -1580,6 +1604,51 @@ def _winnow_pairs_oracle() -> str:
              round(c * 1.0 / least(na, nb), 6) as containment
       from p where c >= 5
     """
+
+
+def _bpe_oracle(k: int = _BPE_MERGES, min_count: int = 1) -> str:
+    """Independent replay of ``learn_bpe_merges``: ``k`` chained CTE
+    iterations, each counting adjacent symbol pairs over the vocabulary,
+    picking the (count desc, left, right) argmax, and rewriting every
+    word's symbol list left-to-right non-overlapping via ``list_reduce``
+    with a chr(30)-joined string accumulator (the accumulator must be a
+    single value of element type, so the partial symbol list rides as a
+    separator-joined string; chr(30) is asserted absent from the corpus
+    by tests/test_oracle_preconditions.py)."""
+
+    def iteration(i: int) -> str:
+        return f"""
+      p{i} as (
+        select p.a as a, p.b as b, sum(freq) as cnt from (
+          select unnest(list_transform(range(len(syms) - 1),
+                        j -> {{'a': syms[j+1], 'b': syms[j+2]}})) as p, freq
+          from v{i}) group by 1, 2),
+      b{i} as (select a, b, cnt from p{i} order by cnt desc, a, b limit 1),
+      v{i + 1} as (
+        select s.freq,
+          case when len(s.syms) < 2 then s.syms
+          else string_split(list_reduce(s.syms, (acc, x) -> case
+            when list_extract(string_split(acc, chr(30)), -1) = bb.a and x = bb.b
+            then array_to_string(list_append(
+                   list_slice(string_split(acc, chr(30)), 1, len(string_split(acc, chr(30))) - 1),
+                   bb.a || bb.b), chr(30))
+            else acc || chr(30) || x end), chr(30)) end as syms
+        from v{i} s cross join b{i} bb)"""
+
+    head = f"""
+      with w as (
+        select unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) as token
+        from documents),
+      vv as (select token, count(*) as freq from w
+             where token <> '' group by token having count(*) >= {min_count}),
+      v0 as (select freq, regexp_extract_all(token, '.') as syms from vv),"""
+    body = ",".join(iteration(i) for i in range(k))
+    tail = "\n      select * from (" + "\n      union all ".join(
+        f"select {i} as rank, a as merge_left, b as merge_right, "
+        f"cast(cnt as bigint) as pair_count from b{i}"
+        for i in range(k)
+    ) + ")"
+    return head + body + tail
 
 
 def _pii_chain(expr: str) -> str:
@@ -2140,6 +2209,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_winnow": _winnow_oracle(),
         "dedup_winnow_pairs": _winnow_pairs_oracle(),
+        "text_bpe_merges": _bpe_oracle(),
         "pipeline_e2e": _pipeline_e2e_oracle(),
         "split_assign": """
           select doc_id,

@@ -403,6 +403,91 @@ def token_frequencies(
     )
 
 
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_count: int = 1,
+) -> DataFrame:
+    """Learn a byte-pair-encoding merge table (Sennrich et al. 2016)
+    over the corpus: (rank, merge_left, merge_right, pair_count) — the
+    artifact a pretraining tokenizer trains, not just the piece counts
+    the BPE-proxy counter produces.
+
+    Classic word-level BPE: the corpus collapses to its DISTINCT-token
+    vocabulary with frequencies (``token_frequencies`` — the only
+    corpus-sized pass; everything after runs over the vocabulary table,
+    which is orders of magnitude smaller than the corpus at any scale).
+    Each vocabulary word starts as its character sequence; per
+    iteration the globally most frequent adjacent symbol pair (ties:
+    lexicographically smallest (left, right) — deterministic across
+    engines) is merged left-to-right non-overlapping in every word.
+
+    Scale contract: ``n_merges`` bounded driver iterations; each runs
+    ONE map-side-combinable pair-count aggregation over the vocabulary
+    plus a single-row collect (the argmax — bounded by construction),
+    and rewrites the symbol arrays with a native ``aggregate`` fold
+    (no UDF). The vocabulary's lineage is cut per iteration so the
+    plan stays one-iteration deep. The left-to-right rewrite is the
+    fold ``acc + x``, merging when ``last(acc) == left and x ==
+    right`` — after a merge the new last symbol is ``left||right``,
+    which cannot re-match ``left``, so overlapping runs merge at
+    alternate positions exactly like the sequential scan (e.g. a,a,a
+    with pair (a,a) -> aa,a).
+
+    Stops early when no adjacent pair remains; ranks are then <
+    ``n_merges``.
+    """
+    spark = df.sparkSession
+    vocab = token_frequencies(df, text_col=text_col, min_count=min_count)
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("token")),
+        lambda i: F.substring(F.col("token"), i, 1),
+    )
+    vocab = vocab.select("count", syms.alias("syms")).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pair = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("a"),
+                    F.element_at("syms", (i + 1).cast("int")).alias("b"),
+                ),
+            )
+        )
+        best = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(pair.alias("p"), "count")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("count").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((rank, a, b, cnt))
+        fold = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(a + b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select("count", fold.alias("syms")).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "rank int, merge_left string, merge_right string, pair_count long"
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: sha256 over the
     whitespace/case-normalized text — the content identity used by exact

@@ -1027,3 +1027,59 @@ def test_simhash_incremental_candidates(spark):
     assert (101, 102) in pairs and (102, 101) not in pairs
     # hamming values are exact popcounts <= 3
     assert all(0 <= r.hamming <= 3 for r in cand.collect())
+
+
+def test_learn_bpe_merges_matches_reference(spark):
+    # independent pure-Python BPE (Sennrich et al. merge loop, sequential
+    # left-to-right rewrite) — pins the fold-rewrite equivalence incl.
+    # the overlapping-run case ('aaaa' with pair (a,a) -> aa,aa) and the
+    # (count desc, left, right) tie-break
+    from collections import Counter
+
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        learn_bpe_merges,
+    )
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "aaaa aa banana bandana"),
+        (3, "low lowest newer new"),
+    ]
+
+    def ref_bpe(texts, n_merges):
+        wf = Counter(w for t in texts for w in t.lower().split())
+        vocab = {tuple(w): c for w, c in wf.items()}
+        merges = []
+        for rank in range(n_merges):
+            counts = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] += c
+            if not counts:
+                break
+            (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, a, b, cnt))
+
+            def mw(syms):
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                return tuple(out)
+
+            vocab = {mw(s): c for s, c in vocab.items()}
+        return merges
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.rank, r.merge_left, r.merge_right, r.pair_count)
+        for r in learn_bpe_merges(df, n_merges=6).orderBy("rank").collect()
+    ]
+    assert got == ref_bpe([t for _, t in rows], 6)
+    # early stop: single-char vocabulary has no pairs at all
+    tiny = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    assert learn_bpe_merges(tiny, n_merges=4).count() == 0

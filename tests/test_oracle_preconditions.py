@@ -203,3 +203,13 @@ def test_events_click_view_timestamps_unique_per_user():
         f"duplicate (user_id, ts) rows in {dups} — the ASOF oracles' pick "
         "among equal timestamps is undefined; regenerate or re-key the corpus"
     )
+
+
+def test_corpus_has_no_record_separator_char():
+    """The text_bpe_merges oracle encodes its list_reduce accumulator as
+    a chr(30)-joined string — a corpus token containing chr(30) would
+    corrupt the symbol-list round-trip."""
+    n = _con().execute(
+        "select count(*) from documents where contains(text, chr(30))"
+    ).fetchone()[0]
+    assert n == 0, "corpus contains chr(30); pick another separator for _bpe_oracle"
