@@ -66,6 +66,40 @@ def test_query_matches_duckdb_oracle(spark, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+def test_registry_holds_exactly_fifty_queries():
+    # the driver's correctness gate checks AT MOST 50 queries (round-5
+    # registered 51, the driver file carried exactly the first 50 — the
+    # events_by_type gap); every entry must land in the gate, so the
+    # registry pins to exactly 50 and the overflow lives in
+    # retired_queries() below, oracle-checked here instead
+    assert len(entry.queries()) == 50
+    assert not set(entry.retired_queries()) & set(entry.queries())
+
+
+@pytest.mark.parametrize("name", sorted(entry.retired_oracle_sql().keys()))
+def test_retired_query_matches_duckdb_oracle(spark, name):
+    # retired from the capped driver registry, NOT from the engine:
+    # same full rows+schema+values comparison, every round, via pytest
+    q = entry.retired_queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck()
+    res = con.execute(entry.retired_oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    a = _rows_to_multiset(spark_cols, spark_rows)
+    b = _rows_to_multiset(duck_cols, duck_rows)
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
 def test_every_query_has_oracle_or_reason():
     qs = set(entry.queries())
     os_ = set(entry.oracle_sql())
