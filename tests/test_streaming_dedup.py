@@ -1,0 +1,120 @@
+"""Streaming incremental near-dup ingest (datapipe/streaming_dedup.py):
+three file-source micro-batches through foreachBatch, cross-batch twins
+found, store bookkeeping exact, per-batch idempotence on replay."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+    minhash_incremental_candidates,
+    minhash_signatures,
+)
+from smartlogic_concordance_transformer_spark.datapipe.streaming_dedup import (
+    ingest_batch,
+    read_candidates,
+    read_signature_store,
+    start_incremental_dedup_stream,
+)
+
+MH = dict(num_hashes=16, k=3, bands=4, rows_per_band=4)
+
+
+def _text(i: int) -> str:
+    # 24 tokens unique to doc i: no accidental shingle overlap across docs
+    return " ".join(f"tok{j}x{i}" for j in range(24))
+
+
+def _batches():
+    b0 = [(i, _text(i)) for i in range(10)]
+    b1 = [(i, _text(i)) for i in range(10, 20)]
+    b1[3] = (13, _text(3))   # exact cross-batch twin of doc 3
+    b1[6] = (16, _text(15))  # exact within-batch twin of doc 15
+    b2 = [(i, _text(i)) for i in range(20, 30)]
+    b2[5] = (25, _text(3))   # twin of docs 3 and 13
+    return [b0, b1, b2]
+
+
+def _write_batch(in_dir, name, rows):
+    os.makedirs(in_dir, exist_ok=True)
+    tmp = os.path.join(in_dir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    os.replace(tmp, os.path.join(in_dir, name))
+
+
+SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+)
+
+
+def _pairs(df):
+    return {(r.a, r.b) for r in df.select("a", "b").collect()}
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    batches = _batches()
+
+    _write_batch(in_dir, "b0.json", batches[0])
+    src = spark.readStream.schema(SCHEMA).json(in_dir)
+    q = start_incremental_dedup_stream(src, store, ckpt, **MH)
+    try:
+        q.processAllAvailable()
+        for n, rows in (("b1.json", batches[1]), ("b2.json", batches[2])):
+            _write_batch(in_dir, n, rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sigs = read_signature_store(spark, store)
+    assert sigs.count() == 30
+    assert {
+        (r.batch_id, r.n) for r in sigs.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+    } == {(0, 10), (1, 10), (2, 10)}
+
+    got = read_candidates(spark, store)
+    got_pairs = _pairs(got)
+    # planted exact twins are guaranteed candidates (jaccard 1.0 collides
+    # in every band); a/b orientation per the operator contract
+    assert {(13, 3), (15, 16), (25, 3), (25, 13)} <= got_pairs
+
+    # the streaming run must equal the sequential batch-backfill reference
+    expected: set = set()
+    base = None
+    for rows in batches:
+        batch_sigs = minhash_signatures(
+            spark.createDataFrame(rows, SCHEMA),
+            num_hashes=MH["num_hashes"],
+            k=MH["k"],
+        ).localCheckpoint()
+        probe = base if base is not None else batch_sigs.limit(0)
+        expected |= _pairs(
+            minhash_incremental_candidates(
+                batch_sigs, probe, bands=MH["bands"], rows_per_band=MH["rows_per_band"]
+            )
+        )
+        base = batch_sigs if base is None else base.unionByName(batch_sigs)
+    assert got_pairs == expected
+
+    # batch attribution: every pair's a-key belongs to the batch that
+    # surfaced it
+    for r in got.collect():
+        assert r.a // 10 == r.batch_id
+
+    # idempotence: replaying batch 1 (foreachBatch is at-least-once on
+    # restart) overwrites its own partitions, never duplicates
+    before_sig = sorted(map(tuple, sigs.select("doc_id", "batch_id").collect()))
+    before_cand = sorted(map(tuple, got.select("a", "b", "batch_id").collect()))
+    ingest_batch(
+        spark, spark.createDataFrame(batches[1], SCHEMA), 1, store, **MH
+    )
+    sigs2 = read_signature_store(spark, store)
+    got2 = read_candidates(spark, store)
+    assert sorted(map(tuple, sigs2.select("doc_id", "batch_id").collect())) == before_sig
+    assert sorted(map(tuple, got2.select("a", "b", "batch_id").collect())) == before_cand
