@@ -313,7 +313,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup corpus: every 10th doc gets a one-token-perturbed twin at
-    # doc_id+100000; 4x16-bit banded simhash recovers most twins at
+    # doc_id+1e12; 4x16-bit banded simhash recovers most twins at
     # hamming <= 3. The contract query passes the portable md5-derived
     # 60-bit token hash so DuckDB can rebuild the identical fingerprints
     # digit-by-digit (full rows+schema+hash check); the default
@@ -322,7 +322,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_shipped(spark)
     d = _spread(spark, _docs(spark, sf_dir)).select("doc_id", "text")
     pert = d.filter(F.pmod("doc_id", 10) == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qzx")).alias("text"),
     )
     fps = simhash(d.unionByName(pert), token_hash=md5_token_hash)
@@ -333,8 +333,10 @@ def q_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash parity for the daily-ingest shape (mirrors
     # dedup_incremental): the existing corpus's fingerprint table is
     # banded and probed ONCE — never self-joined — while a small new
-    # batch (one-token-perturbed twins of every 10th doc at +100000,
-    # byte-exact re-ingests of every 25th at +400000) is checked against
+    # batch (one-token-perturbed twins of every 10th doc at +1e12,
+    # byte-exact re-ingests of every 25th at +2e12 — offsets above any
+    # real doc_id even at 100 TB ~ 1e11 docs, so planted ids never
+    # collide with corpus ids at any SF) is checked against
     # existing docs and itself. The oracle is the all-pairs new-vs-all
     # popcount join over independently rebuilt md5-kernel fingerprints,
     # so it also re-proves the banding's exactness for hamming <= 3.
@@ -345,11 +347,11 @@ def q_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _spread(spark, _docs(spark, sf_dir)).select("doc_id", "text")
     twins = d.filter(F.pmod("doc_id", 10) == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qzx")).alias("text"),
     )
     copies = d.filter(F.pmod("doc_id", 25) == 0).select(
-        (F.col("doc_id") + 400000).alias("doc_id"), "text"
+        (F.col("doc_id") + 2_000_000_000_000).alias("doc_id"), "text"
     )
     base_fps = simhash(d, token_hash=md5_token_hash)
     new_fps = simhash(twins.unionByName(copies), token_hash=md5_token_hash)
@@ -376,7 +378,7 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     twins = d.filter(F.pmod("doc_id", 10) == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
         F.concat("text", F.lit(" zq")).alias("text"),
     )
     # the small parquet reads as 1-2 partitions, but shingling fans out
@@ -393,7 +395,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental dedup (the daily-ingest shape): the existing corpus's
     # signature table is banded and probed ONCE — never self-joined —
     # while a small new batch (one-token twins of every 10th doc at
-    # +100000, byte-exact re-ingests of every 25th doc at +400000) is
+    # +1e12, byte-exact re-ingests of every 25th doc at +2e12; offsets
+    # sit above any real doc_id at any SF, see simhash_incremental) is
     # checked against existing docs and against itself. Banded candidates
     # -> exact Jaccard verify >= 0.8 over the union corpus. Every
     # qualifying pair sits at j >= 0.9 (raw-corpus empty-band
@@ -408,11 +411,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _spread(spark, _docs(spark, sf_dir)).select("doc_id", "text")
     twins = base.filter(F.pmod("doc_id", 10) == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
         F.concat("text", F.lit(" zq")).alias("text"),
     )
     copies = base.filter(F.pmod("doc_id", 25) == 0).select(
-        (F.col("doc_id") + 400000).alias("doc_id"), "text"
+        (F.col("doc_id") + 2_000_000_000_000).alias("doc_id"), "text"
     )
     new = twins.unionByName(copies)
     base_sigs = minhash_signatures(base, num_hashes=64, k=3)
@@ -426,7 +429,7 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the MOSS-style partial-overlap detector end-to-end: winnowing
     # fingerprint sets (portable md5 gram hash) -> fingerprint-bucket
     # candidate pairs with the max_df noise rule -> containment. Planted
-    # partial overlaps: every 20th doc gets a +500000 twin sharing ONLY
+    # partial overlaps: every 20th doc gets a +3e12 twin sharing ONLY
     # its first 200 chars (distinct tail) — the shape winnowing exists
     # for, which whole-document Jaccard would miss. Both sides compute
     # the EXACT shared-fingerprint counts (no LSH approximation), so any
@@ -442,7 +445,7 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _spread(spark, _docs(spark, sf_dir)).select("doc_id", "text")
     part = d.filter(F.pmod("doc_id", 20) == 0).select(
-        (F.col("doc_id") + 500000).alias("doc_id"),
+        (F.col("doc_id") + 3_000_000_000_000).alias("doc_id"),
         F.concat(
             F.substring("text", 1, 200),
             F.lit(" tail marker for doc "),
@@ -489,7 +492,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     dup = emb.filter(F.pmod("vec_id", 7) == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + 1_000_000_000_000).alias("vec_id"),
         F.transform("v", lambda x: x * F.lit(2.0)).alias("v"),
     )
     c = emb.unionByName(dup)
@@ -1308,7 +1311,7 @@ def _simhash_oracle(
       with corpus as (
         select doc_id, text from documents
         union all
-        select doc_id + 100000, text || ' qzx' from documents where doc_id % 10 = 0{extra_corpus}),
+        select doc_id + 1000000000000, text || ' qzx' from documents where doc_id % 10 = 0{extra_corpus}),
       tok as (
         select doc_id,
                unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) as w
@@ -1633,7 +1636,7 @@ def _winnow_pairs_oracle() -> str:
     corpus = """(
         select doc_id, text from documents
         union all
-        select doc_id + 500000 as doc_id,
+        select doc_id + 3000000000000 as doc_id,
                substr(text, 1, 200) || ' tail marker for doc '
                  || cast(doc_id as varchar) as text
         from documents where doc_id % 20 = 0)"""
@@ -1963,7 +1966,7 @@ def oracle_sql() -> dict[str, str]:
                    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as toks
             from documents),
           twin as (
-            select doc_id + 100000 as doc_id,
+            select doc_id + 1000000000000 as doc_id,
                    string_split(trim(regexp_replace(lower(text || ' zq'), '\\s+', ' ', 'g')), ' ') as toks
             from documents where doc_id % 10 = 0),
           allr as (select * from base union all select * from twin),
@@ -1986,7 +1989,7 @@ def oracle_sql() -> dict[str, str]:
                    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as toks
             from documents),
           twin as (
-            select doc_id + 100000 as doc_id,
+            select doc_id + 1000000000000 as doc_id,
                    string_split(trim(regexp_replace(lower(text || ' zq'), '\\s+', ' ', 'g')), ' ') as toks
             from documents where doc_id % 10 = 0),
           allr as (select * from base union all select * from twin),
@@ -2016,11 +2019,11 @@ def oracle_sql() -> dict[str, str]:
                    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as toks
             from documents),
           twin as (
-            select doc_id + 100000 as doc_id,
+            select doc_id + 1000000000000 as doc_id,
                    string_split(trim(regexp_replace(lower(text || ' zq'), '\\s+', ' ', 'g')), ' ') as toks
             from documents where doc_id % 10 = 0),
           cpy as (
-            select doc_id + 400000 as doc_id,
+            select doc_id + 2000000000000 as doc_id,
                    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as toks
             from documents where doc_id % 25 = 0),
           allr as (select * from base union all select * from twin union all select * from cpy),
@@ -2035,14 +2038,14 @@ def oracle_sql() -> dict[str, str]:
                    len(list_intersect(a.s, b.s)) * 1.0
                      / len(list_distinct(list_concat(a.s, b.s))) as jaccard
             from sets a join sets b
-              on a.doc_id >= 100000
-             and (b.doc_id < 100000 or a.doc_id < b.doc_id)
+              on a.doc_id >= 1000000000000
+             and (b.doc_id < 1000000000000 or a.doc_id < b.doc_id)
              and a.doc_id <> b.doc_id)
           select a, b, round(jaccard, 6) as jaccard from j where jaccard >= 0.8
         """,
         "dedup_embed": """
           with base as (select vec_id, embedding from embeddings where vec_id < 1000),
-          dup as (select vec_id + 100000 as vec_id,
+          dup as (select vec_id + 1000000000000 as vec_id,
                          list_transform(embedding, x -> x * 2) as embedding
                   from base where vec_id % 7 = 0),
           c as (select vec_id, embedding from base union all select vec_id, embedding from dup)
@@ -2054,10 +2057,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_incremental": _simhash_oracle(
             extra_corpus=(
                 "\n        union all\n"
-                "        select doc_id + 400000, text from documents where doc_id % 25 = 0"
+                "        select doc_id + 2000000000000, text from documents where doc_id % 25 = 0"
             ),
             pair_cond=(
-                "a.doc_id >= 100000 and (b.doc_id < 100000 or a.doc_id < b.doc_id) "
+                "a.doc_id >= 1000000000000 and (b.doc_id < 1000000000000 or a.doc_id < b.doc_id) "
                 "and a.doc_id <> b.doc_id"
             ),
         ),

@@ -279,6 +279,15 @@ def main() -> dict:
         per_query[name] = round(time.time() - t0, 3)
         log(f"  {name}: {per_query[name]}s")
     canary_samples["_end"] = canary()
+    # bench_total_sec must stay comparable with rounds 1-5 (kg run +
+    # query loop, nothing else): stamp it HERE — before the durable
+    # pipeline run — and net out the interleaved canary executions,
+    # which are box instrumentation, not engine work. Both overheads are
+    # reported as their own fields instead.
+    canary_overhead = round(
+        sum(v for k, v in canary_samples.items() if k != "_start"), 3
+    )
+    total = round(time.time() - t_total0 - canary_overhead, 3)
 
     # the durable-barrier pipeline (StageMaterializer): at 100 TB this IS
     # the execution shape — every barrier a persisted stage table — so it
@@ -294,12 +303,12 @@ def main() -> dict:
     phase_factor = {
         n: round(canary_samples[n] / ref, 2) for n in BENCH_QUERIES
     }
-    total = round(time.time() - t_total0, 3)
     result = {
         "metric": "bench_total_sec",
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "canary_overhead_sec": canary_overhead,
         "pipeline_e2e_split": pipeline_split,
         "pipeline_e2e_durable": pipeline_durable,
         # phase canary (see make_canary): phase_factor[q] ~ 1.0 means the

@@ -84,14 +84,15 @@ def asof_join(
         # validate here with an actionable message
         from pyspark.sql.types import NumericType
 
-        lt = left.schema[on].dataType
-        if not isinstance(lt, NumericType):
-            raise TypeError(
-                f"asof_join: direction={direction!r} requires a numeric 'on' "
-                f"column (the negated-timeline reduction), got "
-                f"{lt.simpleString()}; pre-cast timestamps, e.g. "
-                "unix_micros(col)"
-            )
+        for side, frame in (("left", left), ("right", right)):
+            t = frame.schema[on].dataType
+            if not isinstance(t, NumericType):
+                raise TypeError(
+                    f"asof_join: direction={direction!r} requires a numeric "
+                    f"'on' column (the negated-timeline reduction), but the "
+                    f"{side} frame's {on!r} is {t.simpleString()}; pre-cast "
+                    "timestamps, e.g. unix_micros(col)"
+                )
     if direction == "nearest":
         # run both directions and pick the closer match per row; backward
         # wins exact-distance ties (pandas merge_asof semantics). The two

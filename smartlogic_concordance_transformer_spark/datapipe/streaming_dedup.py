@@ -42,22 +42,33 @@ def _dirs(store_dir: str) -> tuple[str, str]:
     return os.path.join(store_dir, SIGS), os.path.join(store_dir, CANDIDATES)
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — works for any
+    scheme Spark can write (local, hdfs://, s3a://). An explicit check
+    instead of catching read exceptions: a corrupt store or a transient
+    FS failure must PROPAGATE and stop the stream, never be silently
+    treated as 'no corpus yet' (which would drop every cross-batch
+    near-dup pair for that batch with zero signal)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def read_signature_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
     """The persisted corpus signature table, or None before first batch."""
     sig_dir, _ = _dirs(store_dir)
-    try:
-        return spark.read.parquet(sig_dir)
-    except Exception:  # AnalysisException: path does not exist yet
+    if not _hadoop_path_exists(spark, sig_dir):
         return None
+    return spark.read.parquet(sig_dir)
 
 
 def read_candidates(spark: SparkSession, store_dir: str) -> DataFrame | None:
     """All candidate pairs discovered so far, or None if none yet."""
     _, cand_dir = _dirs(store_dir)
-    try:
-        return spark.read.parquet(cand_dir)
-    except Exception:
+    if not _hadoop_path_exists(spark, cand_dir):
         return None
+    return spark.read.parquet(cand_dir)
 
 
 def ingest_batch(

@@ -245,7 +245,7 @@ class StageMaterializer:
         # row count from the written parquet FOOTERS — pure driver-side
         # metadata, no second scan of the persisted stage (at 100 TB a
         # post-write count() would re-read every stage table once)
-        rows = _parquet_footer_rows(path)
+        rows = _parquet_footer_rows(path, self.spark)
         self.ledger.record(
             stage,
             rows=rows,
@@ -256,13 +256,22 @@ class StageMaterializer:
         return out
 
 
-def _parquet_footer_rows(path: str) -> int:
+def _parquet_footer_rows(path: str, spark: SparkSession | None = None) -> int:
     """Sum of row counts from the parquet file footers under ``path`` —
-    metadata reads only, no data scan."""
+    metadata reads only, no data scan. The fast path lists the LOCAL
+    filesystem; for a non-local root (hdfs://, s3a://) it falls back to
+    a Spark count over the freshly written table — one extra scan there,
+    but never a crash after the expensive stage write already succeeded
+    (which would also lose the ledger entry and the stage's resumability)."""
     import pyarrow.parquet as pq
 
-    return sum(
-        pq.read_metadata(os.path.join(path, name)).num_rows
-        for name in os.listdir(path)
-        if name.endswith(".parquet")
-    )
+    try:
+        return sum(
+            pq.read_metadata(os.path.join(path, name)).num_rows
+            for name in os.listdir(path)
+            if name.endswith(".parquet")
+        )
+    except OSError:
+        if spark is None:
+            raise
+        return spark.read.parquet(path).count()

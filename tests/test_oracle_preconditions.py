@@ -43,7 +43,7 @@ def test_raw_corpus_jaccard_band_is_empty():
     the shipped corpus: max below-band j = 0.067."""
     row = _con().execute("""
       with base as (select doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as toks from documents),
-      twin as (select doc_id + 100000 as doc_id,
+      twin as (select doc_id + 1000000000000 as doc_id,
                       string_split(trim(regexp_replace(lower(text || ' zq'), '\\s+', ' ', 'g')), ' ') as toks
                from documents where doc_id % 10 = 0),
       allr as (select * from base union all select * from twin),
