@@ -135,7 +135,7 @@ def test_lsh_near_dup_pairs_recall_and_precision(spark):
 
     rows = sorted((r["a"], r["b"]) for r in entry.q_dedup_embed(spark, SF).collect())
     expected = sorted(
-        (v, v + 100000) for v in range(0, 500, 7)
+        (v, v + 1_000_000_000_000) for v in range(0, 500, 7)
     )
     assert rows == expected
 
