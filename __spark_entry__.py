@@ -580,11 +580,13 @@ _REP_CHAR_NS = (5, 6, 7, 8, 9, 10)
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-style repetition filter inputs (full Rae et al. 2021 A1 set):
-    # duplicate word/line/paragraph fractions (in-row) + top-{2,3,4}-gram
-    # fractions + duplicate-{5..10}-gram CHARACTER fractions (ONE tagged
-    # explode -> two map-side-combinable aggs for all nine gram sizes).
-    # Counts are exact integers, divisions are int/int -> identical IEEE
-    # doubles across engines.
+    # duplicate word/line/paragraph fractions + top-{2,3,4}-gram fractions
+    # + duplicate-{5..10}-gram CHARACTER fractions. Every statistic is
+    # per-document, so the default 'fold' form is a ZERO-SHUFFLE pure
+    # projection: per gram size an in-row array_sort + one aggregate fold
+    # counts duplicate runs (r6; 1.5x the round-5 explode/groupBy form at
+    # sf0.1 and no exchange at all at scale). Counts are exact integers,
+    # divisions are int/int -> identical IEEE doubles across engines.
     from smartlogic_concordance_transformer_spark.datapipe.text import repetition_stats
 
     return repetition_stats(

@@ -293,6 +293,42 @@ def test_repetition_char_dup_fractions(spark):
     assert got[3].top_2gram_frac == 0.6
 
 
+def test_repetition_fold_equals_shuffle(spark):
+    # the zero-shuffle fold form and the round-5 explode/groupBy form are
+    # independent implementations of the same per-document statistics —
+    # they must return bit-identical rows (same integer counts, same
+    # int/int divisions) on a real corpus, with and without gram hashing
+    from smartlogic_concordance_transformer_spark.datapipe import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for hg in (True, False):
+        a = repetition_stats(
+            docs, ns=(2, 3), char_dup_ns=(2, 5), hash_grams=hg, via="fold"
+        )
+        b = repetition_stats(
+            docs, ns=(2, 3), char_dup_ns=(2, 5), hash_grams=hg, via="shuffle"
+        )
+        assert a.columns == b.columns
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_repetition_fold_has_no_shuffle(spark):
+    # every A1 statistic is per-document: the default fold form must stay
+    # a pure projection — no Exchange, no explode-driven Generate — so at
+    # 100 TB it runs at scan speed with zero cross-executor traffic
+    from smartlogic_concordance_transformer_spark.datapipe import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = repetition_stats(
+        docs, ns=(2, 3, 4), char_dup_ns=(5, 6, 7, 8, 9, 10)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+    with __import__("pytest").raises(ValueError):
+        repetition_stats(docs, via="nope")
+
+
 def test_minhash_incremental_candidates(spark):
     # the daily-ingest shape: new batch vs existing corpus + itself;
     # existing near-dup pairs must NOT be reported (no existing
