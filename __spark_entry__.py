@@ -499,6 +499,42 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(c, dim=64, threshold=0.99, vec_col="v", key_col="vec_id")
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup (Abbas et al. 2023): spherical k-means cells (argmax
+    # cosine to centroid — scale-invariant, so the planted x2-scaled
+    # twins land in their original's cell with BIT-identical centroid
+    # cosine: (2a)/(2b) == a/b exactly in IEEE) -> within-cell pairs with
+    # cosine >= 0.99 -> connected components -> keep the member with the
+    # LOWEST centroid cosine per group (the paper's keep rule; the
+    # planted pairs tie bit-exactly in both engines, so the min-key
+    # tie-break decides identically). Within-cell-only comparison IS the
+    # operator semantic (exactly the paper's), so the DuckDB oracle
+    # mirrors the cell bucketing from the same independently retrained
+    # centroid literals (shared bit-deterministic kmeans kernel, see
+    # sim_ivf) and re-derives pairs/components/representatives as SQL.
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        lloyd_kmeans,
+        semantic_dedup,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = (
+        emb.filter(F.col("vec_id") < 1000)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    dup = base.filter(F.pmod("vec_id", 7) == 0).select(
+        (F.col("vec_id") + 1_000_000_000_000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(2.0)).alias("v"),
+    )
+    cents = lloyd_kmeans(
+        _ivf_train_matrix_spark(emb), k=_IVF_K, iters=_IVF_ITERS, seed=_IVF_SEED
+    )
+    out = semantic_dedup(
+        base.unionByName(dup), cents, threshold=0.99, vec_col="v", key_col="vec_id"
+    )
+    return out.select("vec_id", F.col("cell").cast("int").alias("cell"), "kept")
+
+
 def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic PII appended to each doc (identical construction in the
     # oracle), then the native regexp_replace scrub chain.
@@ -1148,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_incremental": q_dedup_simhash_incremental,
         "dedup_embed": q_dedup_embed,
+        "dedup_semantic": q_dedup_semantic,
         "text_pii": q_text_pii,
         "text_boilerplate": q_text_boilerplate,
         "multimodal_features": q_multimodal_features,
@@ -1174,7 +1211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_top_customers": q_join_top_customers,
         "window_topk": q_window_topk,
         "set_ops": q_set_ops,
-        "events_pivot": q_events_pivot,
         "events_quantiles": q_events_quantiles,
         "events_zscore": q_events_zscore,
         "cube_pricing": q_cube_pricing,
@@ -1193,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_by_type": q_events_by_type,
+        "events_pivot": q_events_pivot,
         "rollup_pricing": q_rollup_pricing,
         "split_assign": q_split_assign,
         "text_tokens": q_text_tokens,
@@ -1202,6 +1239,15 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def retired_oracle_sql() -> dict[str, str]:
     return {
+        "events_pivot": """
+          select user_id % 100 as ubucket,
+                 count(*) filter (where event_type = 'click') as click,
+                 count(*) filter (where event_type = 'error') as error,
+                 count(*) filter (where event_type = 'purchase') as purchase,
+                 count(*) filter (where event_type = 'signup') as signup,
+                 count(*) filter (where event_type = 'view') as view
+          from events group by 1
+        """,
         "graph_degrees": """
           with e as (select 'n' || cast(doc_id % 100 as varchar) as src,
                             'n' || cast(doc_id * 7 % 100 as varchar) as dst
@@ -1436,6 +1482,35 @@ def _multimodal_oracle() -> str | None:
 
 
 @functools.lru_cache(maxsize=1)
+def _oracle_centroid_matrix():
+    """The k-means centroid matrix rebuilt INDEPENDENTLY of the engine
+    (pyarrow read of the sf0.01 parquet + the shared bit-deterministic
+    ``lloyd_kmeans`` kernel over the same deterministic training rows as
+    ``_ivf_train_matrix_spark``), or None where that data is absent.
+    Shared by the sim_ivf and dedup_semantic oracles; memoized so
+    repeated oracle_sql() calls retrain once."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        lloyd_kmeans,
+    )
+
+    path = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    vec_ids = np.asarray(t.column("vec_id"))
+    embs = np.asarray(t.column("embedding").to_pylist(), dtype="float64")
+    order = np.argsort(vec_ids, kind="stable")
+    even = vec_ids[order] % 2 == 0
+    X = embs[order][even][:_IVF_MAX_TRAIN]
+    return np.asarray(
+        lloyd_kmeans(X, k=_IVF_K, iters=_IVF_ITERS, seed=_IVF_SEED), dtype="float64"
+    )
+
+
+@functools.lru_cache(maxsize=1)
 def _sim_ivf_oracle() -> str | None:
     """Full-value oracle for IVF ANN. The iterative k-means isn't SQL, but
     it IS bit-deterministic: the training matrix is a deterministic
@@ -1455,25 +1530,9 @@ def _sim_ivf_oracle() -> str | None:
     additionally relies on no two cells/scores being within ~1 ulp for
     any row of THIS corpus — true for the gaussian test embeddings,
     re-check if the corpus is regenerated (see docs/COVERAGE.md)."""
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
-        lloyd_kmeans,
-    )
-
-    path = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
-    if not os.path.exists(path):
+    C = _oracle_centroid_matrix()
+    if C is None:
         return None
-    t = pq.read_table(path, columns=["vec_id", "embedding"])
-    vec_ids = np.asarray(t.column("vec_id"))
-    embs = np.asarray(t.column("embedding").to_pylist(), dtype="float64")
-    order = np.argsort(vec_ids, kind="stable")
-    even = vec_ids[order] % 2 == 0
-    X = embs[order][even][:_IVF_MAX_TRAIN]
-    C = np.asarray(
-        lloyd_kmeans(X, k=_IVF_K, iters=_IVF_ITERS, seed=_IVF_SEED), dtype="float64"
-    )
     c2 = (C * C).sum(axis=1)  # same numpy reduction ivf_assign uses
 
     # corpus-side assignment: argmin_j (||c_j||^2 - 2 x.c_j), first index
@@ -1520,6 +1579,75 @@ def _sim_ivf_oracle() -> str | None:
                cast(row_number() over (partition by query_id
                     order by score desc, vec_id) as int) as rank
         from scored) where rank <= 10
+    """
+
+
+@functools.lru_cache(maxsize=1)
+def _dedup_semantic_oracle() -> str | None:
+    """Full-value oracle for SemDeDup. Centroids come from the shared
+    independently-retrained matrix (``_oracle_centroid_matrix``); cell
+    assignment (argmax cosine, first index on exact ties), within-cell
+    pair generation, the recursive-CTE transitive closure, and the
+    lowest-centroid-cosine keep rule are all plain SQL over centroid
+    literals. The within-cell restriction is NOT an approximation being
+    trusted — it is the operator's published semantic, so the oracle
+    replicates the bucketing exactly.
+
+    Float caveat: engine cosines are numpy-BLAS, oracle cosines are
+    DuckDB sequential reductions — hash equality rides on (a) argmax
+    cell margins >> 1 ulp for every corpus row and (b) pair cosines
+    clearing/missing the 0.99 threshold by wide margins (planted exact
+    x2-scalings sit at cos == 1 bit-for-bit in BOTH engines — scaling by
+    a power of two commutes with IEEE rounding — and the natural max
+    pairwise cosine of this corpus is ~0.51). Asserted at run time by
+    tests/test_oracle_preconditions.py::test_semantic_cell_and_pair_margins."""
+    C = _oracle_centroid_matrix()
+    if C is None:
+        return None
+    cos_exprs = ",\n                 ".join(
+        f"list_cosine_similarity(embedding, {_dlist(C[j])})" for j in range(len(C))
+    )
+    return f"""
+      with recursive b0 as (
+        select vec_id, cast(embedding as double[]) as embedding
+        from embeddings where vec_id < 1000),
+      c as (
+        select vec_id, embedding from b0
+        union all
+        select vec_id + 1000000000000 as vec_id,
+               list_transform(embedding, x -> x * 2) as embedding
+        from b0 where vec_id % 7 = 0),
+      sc as (
+        select vec_id, embedding,
+               [{cos_exprs}] as s
+        from c),
+      cells as (
+        select vec_id, embedding,
+               cast(list_indexof(s, list_aggregate(s, 'max')) - 1 as int) as cell,
+               list_aggregate(s, 'max') as ccos
+        from sc),
+      p as (
+        select x.vec_id as a, y.vec_id as b
+        from cells x join cells y
+          on x.cell = y.cell and x.vec_id < y.vec_id
+        where list_cosine_similarity(x.embedding, y.embedding) >= 0.99),
+      e as (select a as u, b as v from p union select b, a from p),
+      n as (select distinct u as node from e),
+      reach(node, r) as (
+        select node, node from n
+        union
+        select e.u, reach.r from e join reach on reach.node = e.v),
+      comp as (select node, min(r) as component from reach group by node),
+      drops as (
+        select node from (
+          select m.node,
+                 row_number() over (partition by m.component
+                                    order by cells.ccos asc, m.node asc) as rn
+          from comp m join cells on cells.vec_id = m.node)
+        where rn > 1)
+      select cells.vec_id as vec_id, cells.cell as cell,
+             (d.node is null) as kept
+      from cells left join drops d on d.node = cells.vec_id
     """
 
 
@@ -2276,15 +2404,6 @@ def oracle_sql() -> dict[str, str]:
                  round((value - s / n) / sqrt((ss - s * s / n) / (n - 1.0)), 6) as z
           from t
         """,
-        "events_pivot": """
-          select user_id % 100 as ubucket,
-                 count(*) filter (where event_type = 'click') as click,
-                 count(*) filter (where event_type = 'error') as error,
-                 count(*) filter (where event_type = 'purchase') as purchase,
-                 count(*) filter (where event_type = 'signup') as signup,
-                 count(*) filter (where event_type = 'view') as view
-          from events group by 1
-        """,
         "cube_pricing": """
           select coalesce(l_returnflag, 'ALL') as returnflag,
                  coalesce(l_linestatus, 'ALL') as linestatus,
@@ -2312,6 +2431,7 @@ def oracle_sql() -> dict[str, str]:
     # instead of breaking oracle_sql() entirely
     for name, builder in (
         ("sim_ivf", _sim_ivf_oracle),
+        ("dedup_semantic", _dedup_semantic_oracle),
         ("kg_uuid_factset", _factset_uuid_oracle),
         ("multimodal_features", _multimodal_oracle),
     ):

@@ -27,6 +27,9 @@ from .similarity import (
     ivf_search,
     lloyd_kmeans,
     lsh_ann_topk,
+    semantic_dedup,
+    semantic_dedup_pairs,
+    spherical_assign,
     train_ivf_centroids,
 )
 from .text import (
@@ -54,6 +57,9 @@ __all__ = [
     "lsh_ann_topk",
     "ivf_assign",
     "ivf_search",
+    "semantic_dedup",
+    "semantic_dedup_pairs",
+    "spherical_assign",
     "lloyd_kmeans",
     "train_ivf_centroids",
     "pretraining_pipeline",

@@ -353,3 +353,154 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy(query_key_col).orderBy(F.desc("score"), F.col(key_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def spherical_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """+ ``_cell`` (argmax cosine to centroid, first index on exact ties)
+    and ``_ccos`` (that max cosine) columns — the SCALE-INVARIANT cluster
+    assignment semantic-dedup needs: cos(s*x, c) == cos(x, c) bit-exactly
+    in IEEE for power-of-two s, and to the working precision for any
+    s > 0, so rescaled duplicates land in the same cell without any
+    pre-normalization pass over the corpus. Same batched-matmul kernel
+    shape as ``ivf_assign`` (one numpy matmul per Arrow batch); the full
+    cosine formula (not the argmax-equivalent dropped-norm shortcut) is
+    computed so an independent verifier evaluating cos(x, c_j) literally
+    agrees to the last ulp wherever summation order doesn't bite."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype="float64")  # k x d
+    CT = C.T
+    cn = np.sqrt((C * C).sum(axis=1))  # k
+
+    # no type hints: stringified annotations break closure pandas_udfs
+    @pandas_udf("struct<cell:int,ccos:double>")
+    def _assign(v):
+        if len(v) == 0:
+            return pd.DataFrame({"cell": [], "ccos": []})
+        vals = v.to_numpy()
+        ok = np.fromiter(
+            (x is not None and len(x) == CT.shape[0] for x in vals),
+            count=len(vals),
+            dtype=bool,
+        )
+        cell = pd.array([None] * len(vals), dtype="Int32")
+        ccos = pd.array([None] * len(vals), dtype="Float64")
+        if ok.any():
+            X = np.vstack(vals[ok])  # n_ok x d
+            xn = np.sqrt((X * X).sum(axis=1))  # n_ok
+            scores = (X @ CT) / (xn[:, None] * cn[None, :])
+            cell[ok] = scores.argmax(axis=1).astype("int32")
+            ccos[ok] = scores.max(axis=1)
+        return pd.DataFrame({"cell": cell, "ccos": ccos})
+
+    # single evaluation: the two field extractions below must not plan two
+    # ArrowEvalPython nodes, and no filter may be substituted through the
+    # projection (the double-eval defect measured and fixed on the KG fold
+    # kernel, pyfold.py:332) — mark non-deterministic exactly as there
+    _assign = _assign.asNondeterministic()
+    out = corpus.withColumn("_sa", _assign(F.col(vec_col).cast("array<double>")))
+    return out.select(
+        *corpus.columns,
+        F.col("_sa.cell").alias("_cell"),
+        F.col("_sa.ccos").alias("_ccos"),
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Semantic-duplicate pairs ``(a, b, cell)`` with ``a < b``: both
+    vectors in the same spherical k-means cell and cosine >= ``threshold``
+    (SemDeDup, Abbas et al. 2023 — arXiv:2303.09540). Within-cell-only
+    comparison IS the operator's semantic, exactly as in the paper: the
+    cell count k is what bounds the quadratic term, so at corpus scale k
+    grows with n (the paper uses ~11k clusters for 1e9+ docs) to keep
+    per-cell membership roughly constant, and ``cell`` is the natural
+    partition/cluster column for the stored corpus — each cell's pair
+    generation is a partition-local join, never an all-pairs product
+    across cells (plan-pinned: no CartesianProduct)."""
+    assigned = spherical_assign(corpus, centroids, vec_col).select(
+        F.col(key_col).alias("_k"),
+        F.col("_cell").alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    # the assignment feeds both sides of the cell self-join: cut lineage
+    # (default) so the matmul-assignment pass runs once, not per branch
+    if truncate_lineage:
+        assigned = assigned.localCheckpoint(eager=False)
+    a = assigned.select(F.col("_k").alias("a"), "cell", F.col("_v").alias("_va"))
+    b = assigned.select(F.col("_k").alias("b"), "cell", F.col("_v").alias("_vb"))
+    cos = cosine_udf()
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cos(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("a", "b", "cell")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Full SemDeDup ledger ``(key, cell, kept)`` over every corpus row:
+    semantic-duplicate groups are the connected components of the
+    within-cell pair graph (components never span cells), and each group
+    KEEPS exactly one member — the one with the LOWEST cosine to its cell
+    centroid, the paper's keep rule (it retains the least prototypical
+    example of the duplicated content), ties broken by the smaller key.
+    Rows with no duplicate partner are kept.
+
+    Shape: pairs (cell-local join) -> alternating-star connected
+    components over only the paired keys (a tiny fraction of the corpus)
+    -> one window over components for the representative -> broadcast-
+    sized join back to the full corpus. The full corpus is scanned once
+    for assignment and joined once against the (small) drop set."""
+    from ..cc import connected_components  # local import: avoid cycle
+
+    assigned = spherical_assign(corpus, centroids, vec_col).select(
+        F.col(key_col),
+        F.col("_cell").alias("cell"),
+        F.col("_ccos").alias("_ccos"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if truncate_lineage:
+        assigned = assigned.localCheckpoint(eager=False)
+    a = assigned.select(F.col(key_col).alias("a"), "cell", F.col("_v").alias("_va"))
+    b = assigned.select(F.col(key_col).alias("b"), "cell", F.col("_v").alias("_vb"))
+    cos = cosine_udf()
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cos(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("a", "b")
+    )
+    comp = connected_components(pairs, src="a", dst="b")
+    members = comp.join(
+        assigned.select(F.col(key_col).alias("node"), F.col("_ccos")), "node"
+    )
+    w = Window.partitionBy("component").orderBy(F.asc("_ccos"), F.asc("node"))
+    drops = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("node").alias(key_col), F.lit(False).alias("kept"))
+    )
+    return (
+        assigned.select(key_col, "cell")
+        .join(drops, key_col, "left")
+        .select(key_col, "cell", F.coalesce("kept", F.lit(True)).alias("kept"))
+    )

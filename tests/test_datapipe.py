@@ -1119,3 +1119,44 @@ def test_learn_bpe_merges_matches_reference(spark):
     # early stop: single-char vocabulary has no pairs at all
     tiny = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
     assert learn_bpe_merges(tiny, n_merges=4).count() == 0
+
+
+def test_semantic_dedup_keep_rule(spark):
+    # hand fixture, explicit centroids: component {1, 2, 3} in cell 0
+    # (2 = 2x-scaled 1, 3 a close neighbor); the SemDeDup keep rule
+    # retains the member with the LOWEST centroid cosine (3), 1 and 2 tie
+    # bit-exactly (power-of-two scaling) and both drop; 4 sits alone in
+    # cell 1; a null vector gets a null cell and is kept
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [1.0, 0.2]),
+        (2, [2.0, 0.4]),
+        (3, [1.0, 0.21]),
+        (4, [0.3, 1.0]),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    pairs = sorted(
+        (r.a, r.b, r.cell)
+        for r in semantic_dedup_pairs(
+            df, cents, threshold=0.999, vec_col="v", key_col="vec_id"
+        ).collect()
+    )
+    assert pairs == [(1, 2, 0), (1, 3, 0), (2, 3, 0)]
+
+    led = {
+        r.vec_id: (r.cell, r.kept)
+        for r in semantic_dedup(
+            df, cents, threshold=0.999, vec_col="v", key_col="vec_id"
+        ).collect()
+    }
+    assert led[3] == (0, True)
+    assert led[1] == (0, False) and led[2] == (0, False)
+    assert led[4] == (1, True)
+    assert led[5] == (None, True)

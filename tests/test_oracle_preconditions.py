@@ -213,3 +213,53 @@ def test_corpus_has_no_record_separator_char():
         "select count(*) from documents where contains(text, chr(30))"
     ).fetchone()[0]
     assert n == 0, "corpus contains chr(30); pick another separator for _bpe_oracle"
+
+
+def test_semantic_cell_and_pair_margins():
+    """dedup_semantic's hash equality rests on engine (numpy BLAS) and
+    oracle (DuckDB sequential) float reductions agreeing on every
+    DISCRETE decision: (a) the argmax cell per corpus row, (b) each
+    within-cell pair's >= 0.99 threshold comparison, (c) the keep rule's
+    ordering (planted pairs tie bit-exactly — x2 scaling commutes with
+    IEEE rounding — so min-key decides in both engines). Reductions in
+    different orders agree to ~1e-13 relative; assert every margin is
+    orders of magnitude wider."""
+    import pyarrow.parquet as pq
+
+    C = np.asarray(entry._oracle_centroid_matrix(), dtype="float64")
+    t = pq.read_table(
+        os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    vec_ids = np.asarray(t.column("vec_id"))
+    X = np.asarray(t.column("embedding").to_pylist(), dtype="float64")
+    base = X[vec_ids < 1000]
+    corpus = np.vstack([base, 2.0 * base[vec_ids[vec_ids < 1000] % 7 == 0]])
+
+    cn = np.sqrt((C * C).sum(axis=1))
+    xn = np.sqrt((corpus * corpus).sum(axis=1))
+    scores = (corpus @ C.T) / (xn[:, None] * cn[None, :])
+    top2 = np.sort(scores, axis=1)[:, -2:]
+    cell_margin = (top2[:, 1] - top2[:, 0]).min()
+    assert cell_margin > 1e-6, (
+        f"argmax cell margin {cell_margin:.3e} too thin for cross-engine "
+        "float agreement — regenerate corpus or raise k"
+    )
+
+    cells = scores.argmax(axis=1)
+    n_base = len(base)
+    margins = []
+    for cell in range(len(C)):
+        idx = np.where(cells == cell)[0]
+        if len(idx) < 2:
+            continue
+        V = corpus[idx] / xn[idx][:, None]
+        cos = V @ V.T
+        iu = np.triu_indices(len(idx), k=1)
+        # planted pairs are (i, i+n_base) with cos == 1; margin is how
+        # far every pair sits from the 0.99 threshold
+        margins.append(np.abs(cos[iu] - 0.99).min())
+    pair_margin = min(margins)
+    assert pair_margin > 1e-3, (
+        f"within-cell pair cosine sits {pair_margin:.3e} from the 0.99 "
+        "threshold — too close for cross-engine float agreement"
+    )

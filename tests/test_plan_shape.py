@@ -195,3 +195,47 @@ def test_winnow_candidate_pairs_semantics(spark):
         for r in winnow_candidate_pairs(fps, min_shared=1).collect()
     }
     assert all_rows[(1, 2)] == 3 and all_rows[(2, 3)] == 1
+
+
+def test_semantic_dedup_plan_shape(spark):
+    # within-cell pair generation must be a hash join on the cell key —
+    # never an all-pairs product — and the spherical assignment UDF must
+    # evaluate ONCE (the struct's two field extractions would plan two
+    # ArrowEvalPython nodes without the asNondeterministic pin; the
+    # second Python eval is the cosine verify)
+    import __spark_entry__ as entry
+
+    df = entry.q_dedup_semantic(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        semantic_dedup_pairs,
+        lloyd_kmeans,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = lloyd_kmeans(
+        entry._ivf_train_matrix_spark(spark.read.parquet(f"{SF}/embeddings.parquet")),
+        k=4,
+    )
+    # default (truncate_lineage=True): the lazy checkpoint runs the
+    # assignment matmul ONCE and both join branches scan its RDD — the
+    # only Python eval left in the plan is the cosine verify
+    pairs_plan = _plan(semantic_dedup_pairs(emb, cents, vec_col="v", key_col="vec_id"))
+    assert pairs_plan.count("ArrowEvalPython") == 1
+    assert "ExistingRDD" in pairs_plan
+    # without the cut each branch evaluates the assignment once — 3 total
+    # (2 assigns + verify). 5 would mean the struct's two field
+    # extractions planned TWO ArrowEvalPython nodes per branch — the
+    # double-eval defect the asNondeterministic pin prevents
+    raw_plan = _plan(
+        semantic_dedup_pairs(
+            emb, cents, vec_col="v", key_col="vec_id", truncate_lineage=False
+        )
+    )
+    assert raw_plan.count("ArrowEvalPython") == 3
