@@ -535,6 +535,48 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("cell").cast("int").alias("cell"), "kept")
 
 
+def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup parity for the daily-ingest shape (mirrors
+    # dedup_incremental / dedup_simhash_incremental): the existing corpus
+    # is a PERSISTED assigned table (key, cell, vec) — spherical_assign
+    # ran once at original ingest; here it is probed by cell, never
+    # re-assigned and never self-joined — while the new batch
+    # (x2-scaled twins of every 7th vector at +1e12, byte-exact
+    # re-ingests of every 25th at +2e12) is checked against existing
+    # vectors and itself. The oracle rebuilds cells from the shared
+    # retrained centroid literals and enumerates within-cell new-vs-all
+    # pairs directly.
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        lloyd_kmeans,
+        semantic_dedup_incremental_pairs,
+        spherical_assign,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = (
+        emb.filter(F.col("vec_id") < 1000)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    twins = base.filter(F.pmod("vec_id", 7) == 0).select(
+        (F.col("vec_id") + 1_000_000_000_000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(2.0)).alias("v"),
+    )
+    copies = base.filter(F.pmod("vec_id", 25) == 0).select(
+        (F.col("vec_id") + 2_000_000_000_000).alias("vec_id"), "v"
+    )
+    cents = lloyd_kmeans(
+        _ivf_train_matrix_spark(emb), k=_IVF_K, iters=_IVF_ITERS, seed=_IVF_SEED
+    )
+    assigned = spherical_assign(base, cents, "v").select(
+        "vec_id", F.col("_cell").alias("cell"), "v"
+    )
+    out = semantic_dedup_incremental_pairs(
+        twins.unionByName(copies), assigned, cents,
+        threshold=0.99, vec_col="v", key_col="vec_id",
+    )
+    return out.select("a", "b", F.col("cell").cast("int").alias("cell"))
+
+
 def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic PII appended to each doc (identical construction in the
     # oracle), then the native regexp_replace scrub chain.
@@ -1234,11 +1276,15 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "text_tokens": q_text_tokens,
         "graph_degrees": q_graph_degrees,
+        # overflow, not retired-as-redundant: a NEW r6 operator that the
+        # 50-entry driver cap has no room for — it gets the identical
+        # rows+schema+value check through the pytest gate instead
+        "dedup_semantic_incremental": q_dedup_semantic_incremental,
     }
 
 
 def retired_oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "events_pivot": """
           select user_id % 100 as ubucket,
                  count(*) filter (where event_type = 'click') as click,
@@ -1274,8 +1320,11 @@ def retired_oracle_sql() -> dict[str, str]:
                  cast(sum(cast(value as decimal(18,4))) as double) as sum_value,
                  count(distinct user_id) as n_users
           from events group by event_type
-        """,
-    }
+        """,    }
+    sql = _dedup_semantic_incremental_oracle()
+    if sql is not None:
+        oracles["dedup_semantic_incremental"] = sql
+    return oracles
 
 
 # ---- DuckDB oracles ------------------------------------------------------
@@ -1582,6 +1631,58 @@ def _sim_ivf_oracle() -> str | None:
     """
 
 
+def _semantic_cos_exprs(C) -> str:
+    """Per-centroid ``list_cosine_similarity`` expressions over exact
+    double literals — shared by the dedup_semantic oracles."""
+    return ",\n                 ".join(
+        f"list_cosine_similarity(embedding, {_dlist(C[j])})" for j in range(len(C))
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _dedup_semantic_incremental_oracle() -> str | None:
+    """Pairs-only oracle for the incremental SemDeDup shape: cells from
+    the shared retrained centroid literals, then within-cell new-vs-all
+    pairs (new keys >= 1e12) with cosine >= 0.99 — enumerated directly,
+    no transitive closure. Same float-margin preconditions as
+    dedup_semantic (the +2e12 re-ingests are byte-identical vectors, so
+    their cells and pair cosines tie bit-exactly with their originals
+    within each engine)."""
+    C = _oracle_centroid_matrix()
+    if C is None:
+        return None
+    cos_exprs = _semantic_cos_exprs(C)
+    return f"""
+      with b0 as (
+        select vec_id, cast(embedding as double[]) as embedding
+        from embeddings where vec_id < 1000),
+      c as (
+        select vec_id, embedding from b0
+        union all
+        select vec_id + 1000000000000 as vec_id,
+               list_transform(embedding, x -> x * 2) as embedding
+        from b0 where vec_id % 7 = 0
+        union all
+        select vec_id + 2000000000000 as vec_id, embedding
+        from b0 where vec_id % 25 = 0),
+      sc as (
+        select vec_id, embedding,
+               [{cos_exprs}] as s
+        from c),
+      cells as (
+        select vec_id, embedding,
+               cast(list_indexof(s, list_aggregate(s, 'max')) - 1 as int) as cell
+        from sc)
+      select x.vec_id as a, y.vec_id as b, x.cell as cell
+      from cells x join cells y
+        on x.cell = y.cell
+       and x.vec_id >= 1000000000000
+       and (y.vec_id < 1000000000000 or x.vec_id < y.vec_id)
+       and x.vec_id <> y.vec_id
+      where list_cosine_similarity(x.embedding, y.embedding) >= 0.99
+    """
+
+
 @functools.lru_cache(maxsize=1)
 def _dedup_semantic_oracle() -> str | None:
     """Full-value oracle for SemDeDup. Centroids come from the shared
@@ -1604,9 +1705,7 @@ def _dedup_semantic_oracle() -> str | None:
     C = _oracle_centroid_matrix()
     if C is None:
         return None
-    cos_exprs = ",\n                 ".join(
-        f"list_cosine_similarity(embedding, {_dlist(C[j])})" for j in range(len(C))
-    )
+    cos_exprs = _semantic_cos_exprs(C)
     return f"""
       with recursive b0 as (
         select vec_id, cast(embedding as double[]) as embedding

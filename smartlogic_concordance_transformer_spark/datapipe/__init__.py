@@ -28,6 +28,7 @@ from .similarity import (
     lloyd_kmeans,
     lsh_ann_topk,
     semantic_dedup,
+    semantic_dedup_incremental_pairs,
     semantic_dedup_pairs,
     spherical_assign,
     train_ivf_centroids,
@@ -58,6 +59,7 @@ __all__ = [
     "ivf_assign",
     "ivf_search",
     "semantic_dedup",
+    "semantic_dedup_incremental_pairs",
     "semantic_dedup_pairs",
     "spherical_assign",
     "lloyd_kmeans",

@@ -504,3 +504,55 @@ def semantic_dedup(
         .join(drops, key_col, "left")
         .select(key_col, "cell", F.coalesce("kept", F.lit(True)).alias("kept"))
     )
+
+
+def semantic_dedup_incremental_pairs(
+    new_corpus: DataFrame,
+    base_assigned: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Semantic-duplicate candidates for INCREMENTAL ingest — the
+    daily-batch shape, mirroring ``minhash_incremental_candidates`` /
+    ``simhash_incremental_candidates``: each NEW vector against the
+    existing corpus AND the other new vectors. ``base_assigned`` is the
+    PERSISTED assigned corpus table ``(key, cell, vec)`` — at run scale
+    the corpus is stored cell-partitioned (``spherical_assign`` runs at
+    original ingest, exactly once per row ever), so the existing side is
+    a partition-pruned scan of only the cells the new batch touches,
+    never re-assigned and never self-joined: per-batch work is
+    O(new x cell-mates), not O(existing²).
+
+    Returns ``(a, b, cell)`` with cosine >= ``threshold``: ``a`` is a
+    new key; ``b`` is an existing key, or a new key with ``a < b`` (each
+    new-new pair reported once). Keys must be globally unique across
+    both frames. Same within-cell semantic as ``semantic_dedup_pairs``."""
+    na = spherical_assign(new_corpus, centroids, vec_col).select(
+        F.col(key_col).alias("_k"),
+        F.col("_cell").alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if truncate_lineage:
+        na = na.localCheckpoint(eager=False)
+    probe = base_assigned.select(
+        F.col(key_col).alias("b"),
+        F.col("cell"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+        F.lit(False).alias("_bn"),
+    ).unionByName(
+        na.select(
+            F.col("_k").alias("b"), "cell", F.col("_v").alias("_vb"),
+            F.lit(True).alias("_bn"),
+        )
+    )
+    a = na.select(F.col("_k").alias("a"), "cell", F.col("_v").alias("_va"))
+    cos = cosine_udf()
+    return (
+        a.join(probe, "cell")
+        .filter((~F.col("_bn")) | (F.col("a") < F.col("b")))
+        .filter(cos(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("a", "b", "cell")
+    )

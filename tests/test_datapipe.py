@@ -1160,3 +1160,33 @@ def test_semantic_dedup_keep_rule(spark):
     assert led[1] == (0, False) and led[2] == (0, False)
     assert led[4] == (1, True)
     assert led[5] == (None, True)
+
+
+def test_semantic_dedup_incremental_semantics(spark):
+    # the daily-ingest contract: existing-existing duplicates are NOT
+    # reported (the persisted corpus is never self-joined), new-existing
+    # pairs lead with the new key, new-new pairs appear once with a < b
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        semantic_dedup_incremental_pairs,
+        spherical_assign,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    existing = spark.createDataFrame(
+        [(1, [1.0, 0.2]), (2, [2.0, 0.4])],  # exact-dup pair, must NOT appear
+        "vec_id long, v array<double>",
+    )
+    assigned = spherical_assign(existing, cents, "v").select(
+        "vec_id", F.col("_cell").alias("cell"), "v"
+    )
+    new = spark.createDataFrame(
+        [(10, [1.0, 0.2]), (11, [0.3, 1.0]), (12, [0.31, 1.0])],
+        "vec_id long, v array<double>",
+    )
+    got = sorted(
+        (r.a, r.b, r.cell)
+        for r in semantic_dedup_incremental_pairs(
+            new, assigned, cents, threshold=0.999, vec_col="v", key_col="vec_id"
+        ).collect()
+    )
+    assert got == [(10, 1, 0), (10, 2, 0), (11, 12, 1)]

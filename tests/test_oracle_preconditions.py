@@ -233,7 +233,12 @@ def test_semantic_cell_and_pair_margins():
     vec_ids = np.asarray(t.column("vec_id"))
     X = np.asarray(t.column("embedding").to_pylist(), dtype="float64")
     base = X[vec_ids < 1000]
-    corpus = np.vstack([base, 2.0 * base[vec_ids[vec_ids < 1000] % 7 == 0]])
+    base_ids = vec_ids[vec_ids < 1000]
+    # + the incremental query's new batch: x2-scaled twins AND byte-exact
+    # re-ingests (identical vectors add no new margins, included for form)
+    corpus = np.vstack(
+        [base, 2.0 * base[base_ids % 7 == 0], base[base_ids % 25 == 0]]
+    )
 
     cn = np.sqrt((C * C).sum(axis=1))
     xn = np.sqrt((corpus * corpus).sum(axis=1))
