@@ -759,6 +759,25 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the encode half of the tokenizer: learn the merge table, then
+    # tokenize the SAME corpus with it — per-doc whitespace-token and
+    # BPE-piece counts. Engine: merge rewrites run over the distinct-
+    # token vocabulary only (never the corpus), identical _bpe_fold the
+    # learner used, encoded piece counts broadcast back onto the token
+    # stream, map-side-combinable per-doc agg. Oracle: the SAME chained
+    # CTEs as text_bpe_merges (shared _bpe_chain generator) with the
+    # final v{k} piece arrays joined back to the document word stream.
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    docs = _spread(spark, _docs(spark, sf_dir))
+    merges = learn_bpe_merges(docs, n_merges=_BPE_MERGES, min_count=1)
+    return apply_bpe_merges(docs, merges)
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # THE composition query: the full pretraining-data curation cascade
     # (hygiene -> quality/repetition gates -> exact + MinHash near-dedup
@@ -1276,10 +1295,11 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "text_tokens": q_text_tokens,
         "graph_degrees": q_graph_degrees,
-        # overflow, not retired-as-redundant: a NEW r6 operator that the
-        # 50-entry driver cap has no room for — it gets the identical
+        # overflow, not retired-as-redundant: NEW r6 operators that the
+        # 50-entry driver cap has no room for — they get the identical
         # rows+schema+value check through the pytest gate instead
         "dedup_semantic_incremental": q_dedup_semantic_incremental,
+        "text_bpe_encode": q_text_bpe_encode,
     }
 
 
@@ -1321,6 +1341,7 @@ def retired_oracle_sql() -> dict[str, str]:
                  count(distinct user_id) as n_users
           from events group by event_type
         """,    }
+    oracles["text_bpe_encode"] = _bpe_encode_oracle()
     sql = _dedup_semantic_incremental_oracle()
     if sql is not None:
         oracles["dedup_semantic_incremental"] = sql
@@ -1884,15 +1905,18 @@ def _winnow_pairs_oracle() -> str:
     """
 
 
-def _bpe_oracle(k: int = _BPE_MERGES, min_count: int = 1) -> str:
-    """Independent replay of ``learn_bpe_merges``: ``k`` chained CTE
+def _bpe_chain(k: int, min_count: int) -> str:
+    """The shared CTE chain replaying ``learn_bpe_merges``'s ``k``
     iterations, each counting adjacent symbol pairs over the vocabulary,
     picking the (count desc, left, right) argmax, and rewriting every
     word's symbol list left-to-right non-overlapping via ``list_reduce``
     with a chr(30)-joined string accumulator (the accumulator must be a
     single value of element type, so the partial symbol list rides as a
     separator-joined string; chr(30) is asserted absent from the corpus
-    by tests/test_oracle_preconditions.py)."""
+    by tests/test_oracle_preconditions.py). The chain carries the token
+    key so both the learn oracle (which reads the b{{i}} argmax rows) and
+    the encode oracle (which joins the final v{{k}} piece arrays back to
+    the document word stream) replay from ONE definition."""
 
     def iteration(i: int) -> str:
         return f"""
@@ -1903,7 +1927,7 @@ def _bpe_oracle(k: int = _BPE_MERGES, min_count: int = 1) -> str:
           from v{i}) group by 1, 2),
       b{i} as (select a, b, cnt from p{i} order by cnt desc, a, b limit 1),
       v{i + 1} as (
-        select s.freq,
+        select s.token, s.freq,
           case when len(s.syms) < 2 then s.syms
           else string_split(list_reduce(s.syms, (acc, x) -> case
             when list_extract(string_split(acc, chr(30)), -1) = bb.a and x = bb.b
@@ -1919,14 +1943,35 @@ def _bpe_oracle(k: int = _BPE_MERGES, min_count: int = 1) -> str:
         from documents),
       vv as (select token, count(*) as freq from w
              where token <> '' group by token having count(*) >= {min_count}),
-      v0 as (select freq, regexp_extract_all(token, '.') as syms from vv),"""
-    body = ",".join(iteration(i) for i in range(k))
+      v0 as (select token, freq, regexp_extract_all(token, '.') as syms from vv),"""
+    return head + ",".join(iteration(i) for i in range(k))
+
+
+def _bpe_oracle(k: int = _BPE_MERGES, min_count: int = 1) -> str:
+    """Independent replay of ``learn_bpe_merges`` — see ``_bpe_chain``."""
     tail = "\n      select * from (" + "\n      union all ".join(
         f"select {i} as rank, a as merge_left, b as merge_right, "
         f"cast(cnt as bigint) as pair_count from b{i}"
         for i in range(k)
     ) + ")"
-    return head + body + tail
+    return _bpe_chain(k, min_count) + tail
+
+
+def _bpe_encode_oracle(k: int = _BPE_MERGES, min_count: int = 1) -> str:
+    """Independent replay of ``apply_bpe_merges``: the same learn chain,
+    then every document's word stream joined to the final v{k} piece
+    arrays and aggregated to (doc_id, n_tokens, n_pieces)."""
+    tail = f""",
+      wd as (
+        select doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) as token
+        from documents)
+      select w.doc_id as doc_id,
+             cast(count(*) as bigint) as n_tokens,
+             cast(sum(len(v.syms)) as bigint) as n_pieces
+      from wd w join v{k} v on w.token = v.token
+      group by w.doc_id"""
+    return _bpe_chain(k, min_count) + tail
 
 
 def _pii_chain(expr: str) -> str:

@@ -34,6 +34,7 @@ from .similarity import (
     train_ivf_centroids,
 )
 from .text import (
+    apply_bpe_merges,
     chunk_documents,
     detect_language,
     fingerprint,
@@ -70,6 +71,7 @@ __all__ = [
     "quality_score",
     "token_count",
     "token_frequencies",
+    "apply_bpe_merges",
     "fingerprint",
     "scrub_pii",
     "winnowing_fingerprints",

@@ -575,11 +575,9 @@ def learn_bpe_merges(
     """
     spark = df.sparkSession
     vocab = token_frequencies(df, text_col=text_col, min_count=min_count)
-    syms = F.transform(
-        F.sequence(F.lit(1), F.length("token")),
-        lambda i: F.substring(F.col("token"), i, 1),
+    vocab = vocab.select("count", _char_syms().alias("syms")).localCheckpoint(
+        eager=False
     )
-    vocab = vocab.select("count", syms.alias("syms")).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         pair = F.explode(
@@ -604,22 +602,94 @@ def learn_bpe_merges(
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((rank, a, b, cnt))
-        fold = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.lit(a + b)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+        vocab = vocab.select("count", _bpe_fold(a, b).alias("syms")).localCheckpoint(
+            eager=False
         )
-        vocab = vocab.select("count", fold.alias("syms")).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "rank int, merge_left string, merge_right string, pair_count long"
+    )
+
+
+def _char_syms(token_col: str = "token") -> Column:
+    """Initial BPE symbol sequence: the token's character array."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(token_col)),
+        lambda i: F.substring(F.col(token_col), i, 1),
+    )
+
+
+def _bpe_fold(a: str, b: str) -> Column:
+    """Left-to-right non-overlapping (a,b) -> a||b rewrite of the `syms`
+    array as ONE native aggregate fold (no UDF). After a merge the new
+    last symbol is a||b, which cannot re-match `a`, so overlapping runs
+    merge at alternate positions exactly like the sequential scan
+    (a,a,a with (a,a) -> aa,a). Shared by ``learn_bpe_merges`` and
+    ``apply_bpe_merges`` so the two sides of the tokenizer cannot drift."""
+    return F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Tokenize the corpus with a learned BPE merge table — the encode
+    half of the tokenizer whose train half is ``learn_bpe_merges``.
+    Returns one row per document that has at least one token:
+    (key_col, n_tokens, n_pieces) — whitespace-token count and the BPE
+    piece count after applying every merge in rank order.
+
+    ``merges`` is the ``learn_bpe_merges`` output DataFrame (collected
+    here — bounded by ``n_merges`` by construction) or an already-ordered
+    ``[(left, right), ...]`` list.
+
+    Scale contract: the merge rewrites run over the DISTINCT-token
+    vocabulary, never the corpus — each merge is one native
+    ``aggregate``-fold projection (``_bpe_fold``, the identical rewrite
+    the learner used), with a lazy lineage cut every ``checkpoint_every``
+    ranks so plan depth stays bounded at any merge count. The encoded
+    vocabulary (a piece COUNT per distinct token, a few bytes per row)
+    broadcast-joins back onto the exploded token stream, and the per-doc
+    aggregation is map-side combinable — so the only corpus-sized work
+    is the tokenizing scan and one slim (key, count) shuffle.
+    """
+    if isinstance(merges, DataFrame):
+        pairs = [
+            (r["merge_left"], r["merge_right"]) for r in merges.orderBy("rank").collect()
+        ]
+    else:
+        pairs = list(merges)
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = df.select(F.col(key_col), F.explode(ws_tokens(c)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    enc = words.select("token").distinct().select("token", _char_syms().alias("syms"))
+    for i, (a, b) in enumerate(pairs):
+        enc = enc.select("token", _bpe_fold(a, b).alias("syms"))
+        if (i + 1) % checkpoint_every == 0:
+            enc = enc.localCheckpoint(eager=False)
+    enc = enc.select("token", F.size("syms").alias("word_pieces"))
+    return (
+        words.join(F.broadcast(enc), "token")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("word_pieces").alias("n_pieces"),
+        )
     )
 
 

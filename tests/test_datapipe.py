@@ -1121,6 +1121,61 @@ def test_learn_bpe_merges_matches_reference(spark):
     assert learn_bpe_merges(tiny, n_merges=4).count() == 0
 
 
+def test_apply_bpe_merges_matches_reference(spark):
+    # the encode half: per-doc piece counts after applying the learned
+    # merges in rank order must equal the sequential-scan reference
+    # (same overlapping-run semantics as the learner's fold); also pins
+    # checkpoint_every=1 (lineage cut every rank) bit-identical, the
+    # DataFrame-vs-list merges input equivalence, and that token-less
+    # docs drop out
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "aaaa aa banana bandana"),
+        (3, "low lowest newer new"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges_df = learn_bpe_merges(df, n_merges=6)
+    pairs = [
+        (r.merge_left, r.merge_right) for r in merges_df.orderBy("rank").collect()
+    ]
+
+    def encode(word):
+        syms = list(word)
+        for a, b in pairs:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    exp = {}
+    for d, t in rows:
+        ws = t.lower().split()
+        if ws:
+            exp[d] = (len(ws), sum(len(encode(w)) for w in ws))
+    got = {
+        r.doc_id: (r.n_tokens, r.n_pieces) for r in apply_bpe_merges(df, merges_df).collect()
+    }
+    assert got == exp
+    assert 4 not in got  # whitespace-only doc has no tokens
+    got_list = {
+        r.doc_id: (r.n_tokens, r.n_pieces)
+        for r in apply_bpe_merges(df, pairs, checkpoint_every=1).collect()
+    }
+    assert got_list == exp
+
+
 def test_semantic_dedup_keep_rule(spark):
     # hand fixture, explicit centroids: component {1, 2, 3} in cell 0
     # (2 = 2x-scaled 1, 3 a close neighbor); the SemDeDup keep rule
