@@ -535,6 +535,40 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("cell").cast("int").alias("cell"), "kept")
 
 
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact duplicate-substring spans (Lee et al. 2022): the character
+    # ranges a substring-level dedup pass would cut. The corpus is the
+    # documents table plus planted duplication — every 25th doc's first
+    # 200 chars re-ingested under a fresh id (cross-doc duplication) and
+    # every 40th doc repeated back-to-back (within-doc duplication) —
+    # so spans appear in BOTH the originals and the copies. Engine:
+    # slim (key, pos, xxhash64) gram stream, map-side-combinable count
+    # (never collect_list — boilerplate grams must aggregate to a count,
+    # not a reducer row), hash join back, row-local interval-merge fold.
+    # Oracle: the same k-gram definition grouped on the RAW GRAM STRING
+    # (no hash at all) with a lag-based island merge — agreement also
+    # certifies zero xxhash64 collisions on this corpus.
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        duplicate_substring_spans,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(500000000000)).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 200),
+            F.lit(" planted tail "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    repeated = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + F.lit(600000000000)).alias("doc_id"),
+        F.concat("text", F.lit(" "), "text").alias("text"),
+    )
+    src = docs.unionByName(planted).unionByName(repeated)
+    return duplicate_substring_spans(_spread(spark, src), k=50, min_df=2)
+
+
 def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup parity for the daily-ingest shape (mirrors
     # dedup_incremental / dedup_simhash_incremental): the existing corpus
@@ -1300,6 +1334,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows+schema+value check through the pytest gate instead
         "dedup_semantic_incremental": q_dedup_semantic_incremental,
         "text_bpe_encode": q_text_bpe_encode,
+        "dedup_substrings": q_dedup_substrings,
     }
 
 
@@ -1342,6 +1377,33 @@ def retired_oracle_sql() -> dict[str, str]:
           from events group by event_type
         """,    }
     oracles["text_bpe_encode"] = _bpe_encode_oracle()
+    oracles["dedup_substrings"] = """
+      with src as (
+        select doc_id, text from documents
+        union all
+        select doc_id + 500000000000,
+               substr(text, 1, 200) || ' planted tail ' || cast(doc_id as varchar)
+        from documents where doc_id % 25 = 0
+        union all
+        select doc_id + 600000000000, text || ' ' || text
+        from documents where doc_id % 40 = 0),
+      g as (select doc_id, text,
+                   unnest(range(1, greatest(len(text) - 49, 0) + 1)) as pos
+            from src),
+      gg as (select doc_id, cast(pos as int) as pos, substr(text, pos, 50) as gram from g),
+      d as (select gram from gg group by gram having count(*) >= 2),
+      m as (select doc_id, pos from gg join d using (gram)),
+      s as (select doc_id, pos,
+                   case when pos - lag(pos) over (partition by doc_id order by pos) <= 50
+                        then 0 else 1 end as brk
+            from m),
+      grp as (select doc_id, pos,
+                     sum(brk) over (partition by doc_id order by pos) as grp
+              from s)
+      select doc_id, cast(min(pos) as int) as span_start,
+             cast(max(pos) + 50 as int) as span_end
+      from grp group by doc_id, grp
+    """
     sql = _dedup_semantic_incremental_oracle()
     if sql is not None:
         oracles["dedup_semantic_incremental"] = sql

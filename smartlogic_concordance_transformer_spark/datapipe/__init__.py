@@ -9,6 +9,7 @@ semantics (simhash bit-majority, embedding matrix math, binary decode).
 
 from .curation import pretraining_pipeline
 from .dedup import (
+    duplicate_substring_spans,
     exact_dedup,
     md5_token_hash,
     minhash_lsh_candidates,
@@ -48,6 +49,7 @@ from .text import (
 
 __all__ = [
     "exact_dedup",
+    "duplicate_substring_spans",
     "shingles",
     "md5_token_hash",
     "minhash_signatures",

@@ -449,3 +449,98 @@ def simhash_incremental_candidates(
         .filter(F.col("hamming") <= 3)
         .select("a", "b", "hamming")
     )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 50,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact duplicate-substring detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find,
+    per document, the character spans covered by length->=k substrings
+    that occur at least ``min_df`` times in the corpus (across documents
+    OR repeated within one) — the spans a substring-level dedup pass
+    would cut from training data. Returns one row per maximal span:
+    (key_col, span_start, span_end), 1-based, end exclusive.
+
+    Unlike the suffix-array construction of the paper (global sort of
+    every suffix), the k-gram formulation is shuffle-native: any
+    duplicated substring of length >= k contains a duplicated k-gram at
+    every offset, so the union of duplicated-k-gram intervals [p, p+k)
+    is exactly the paper's duplicated-span set restricted to spans
+    >= k — no global suffix order needed.
+
+    Plan (scale contract):
+    1. One scan explodes each document's k-gram stream to slim
+       (key, pos, xxhash64(gram)) rows — 8 B keys, never the gram text.
+    2. Duplicated grams come from a map-side-combinable COUNT per hash
+       (NOT collect_list — a boilerplate gram shared by 10^9 documents
+       must become a count of 10^9, not a 10^9-element reducer row),
+       then an inner hash join back onto the gram stream; AQE's skew
+       split handles hot hashes on the join side.
+    3. Span assembly is row-local: positions group back to their
+       document, and the maximal-interval merge is an in-row
+       sort_array + aggregate fold (same-length intervals merge iff
+       successive positions differ by <= k), then one explode.
+    Exactness rides on 64-bit gram hashes: at N total grams the
+    collision expectation is ~N^2/2^65 (document-level false spans only
+    on collision; negligible below ~10^8 grams per corpus — beyond
+    that, raise to a 128-bit hash pair).
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_grams = F.length(c) - F.lit(k - 1)
+    # sequence(1, n) DESCENDS when n < 1, so short docs must yield an
+    # empty gram array explicitly, not a clamped sequence
+    positions = F.when(
+        n_grams >= 1, F.sequence(F.lit(1), n_grams)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(key_col),
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(F.substring(c, i, k)).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select(key_col, "g.pos", "g.h")
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h")
+    )
+    merged = F.aggregate(
+        F.array_sort(F.col("ps")),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (p + F.lit(k)).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(p.alias("s"), (p + F.lit(k)).alias("e"))))
+        ),
+    )
+    return (
+        grams.join(dup, "h")
+        .groupBy(key_col)
+        .agg(F.collect_list("pos").alias("ps"))
+        .select(key_col, F.explode(merged).alias("sp"))
+        .select(
+            key_col,
+            F.col("sp.s").alias("span_start"),
+            F.col("sp.e").alias("span_end"),
+        )
+    )

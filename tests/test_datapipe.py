@@ -1245,3 +1245,47 @@ def test_semantic_dedup_incremental_semantics(spark):
         ).collect()
     )
     assert got == [(10, 1, 0), (10, 2, 0), (11, 12, 1)]
+
+
+def test_duplicate_substring_spans_matches_reference(spark):
+    # brute-force reference: count every raw k-gram, mark positions whose
+    # gram occurs >= 2 times corpus-wide (cross-doc OR within-doc), merge
+    # touching [p, p+k) intervals sequentially — pins the island fold,
+    # the within-doc repeat case, and that short/null docs emit nothing
+    # (sequence(1, n<1) would otherwise DESCEND and fabricate grams)
+    from collections import Counter
+
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        duplicate_substring_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again!"
+    rows = [
+        (1, "AAA " + shared + " unique tail one blah blah blah"),
+        (2, "BBBBBB " + shared + " other tail entirely different"),
+        (3, "no duplicated content here at all, pure one-off text"),
+        (4, "xyxyxyxy " + "Z" * 120 + " qq " + "Z" * 120),
+        (5, None),
+        (6, "short"),
+    ]
+    k = 50
+    out = duplicate_substring_spans(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=k
+    )
+    got = sorted((r.doc_id, r.span_start, r.span_end) for r in out.collect())
+
+    texts = {d: (t or "") for d, t in rows}
+    cnt = Counter(t[i : i + k] for t in texts.values() for i in range(len(t) - k + 1))
+    exp = []
+    for d, t in texts.items():
+        ps = [i + 1 for i in range(len(t) - k + 1) if cnt[t[i : i + k]] >= 2]
+        spans, cur = [], None
+        for p in ps:
+            if cur and p <= cur[1]:
+                cur[1] = p + k
+            else:
+                cur = [p, p + k]
+                spans.append(cur)
+        exp += [(d, s, e) for s, e in spans]
+    assert got == sorted(exp)
+    assert {d for d, _, _ in got} == {1, 2, 4}
