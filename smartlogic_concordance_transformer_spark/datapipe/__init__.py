@@ -11,6 +11,7 @@ from .curation import pretraining_pipeline
 from .dedup import (
     duplicate_substring_spans,
     exact_dedup,
+    excise_duplicate_substrings,
     md5_token_hash,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -50,6 +51,7 @@ from .text import (
 __all__ = [
     "exact_dedup",
     "duplicate_substring_spans",
+    "excise_duplicate_substrings",
     "shingles",
     "md5_token_hash",
     "minhash_signatures",

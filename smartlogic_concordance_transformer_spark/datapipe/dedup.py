@@ -457,6 +457,7 @@ def duplicate_substring_spans(
     key_col: str = "doc_id",
     k: int = 50,
     min_df: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact duplicate-substring detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): find,
@@ -489,6 +490,17 @@ def duplicate_substring_spans(
     collision expectation is ~N^2/2^65 (document-level false spans only
     on collision; negligible below ~10^8 grams per corpus — beyond
     that, raise to a 128-bit hash pair).
+
+    ``keep_first=True`` excludes each gram's corpus-wide first occurrence
+    (min (key, pos)) from span assembly — the Lee et al. policy of
+    keeping one copy of the duplicated content; the canonical occurrence
+    is a map-side-combinable ``min(struct(key, pos))`` in the same
+    aggregation that counts, so it costs no extra shuffle. Note the
+    keep-first exclusion is per GRAM, so a self-overlapping periodic run
+    (e.g. a 200-char pad of one character) collapses past its first k
+    characters even in the first document — later positions of the run
+    are non-canonical occurrences and still mark their intervals
+    (pinned by test_excise_duplicate_substrings_keep_first's reference).
     """
     c = F.coalesce(F.col(text_col), F.lit(""))
     n_grams = F.length(c) - F.lit(k - 1)
@@ -511,9 +523,14 @@ def duplicate_substring_spans(
     ).select(key_col, "g.pos", "g.h")
     dup = (
         grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min(F.struct(F.col(key_col).alias("k"), F.col("pos").alias("p"))).alias(
+                "first"
+            ),
+        )
         .filter(F.col("df") >= min_df)
-        .select("h")
+        .select("h", "first")
     )
     merged = F.aggregate(
         F.array_sort(F.col("ps")),
@@ -533,9 +550,13 @@ def duplicate_substring_spans(
             F.concat(acc, F.array(F.struct(p.alias("s"), (p + F.lit(k)).alias("e"))))
         ),
     )
+    matched = grams.join(dup, "h")
+    if keep_first:
+        matched = matched.filter(
+            ~((F.col(key_col) == F.col("first.k")) & (F.col("pos") == F.col("first.p")))
+        )
     return (
-        grams.join(dup, "h")
-        .groupBy(key_col)
+        matched.groupBy(key_col)
         .agg(F.collect_list("pos").alias("ps"))
         .select(key_col, F.explode(merged).alias("sp"))
         .select(
@@ -543,4 +564,59 @@ def duplicate_substring_spans(
             F.col("sp.s").alias("span_start"),
             F.col("sp.e").alias("span_end"),
         )
+    )
+
+
+def excise_duplicate_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 50,
+    min_df: int = 2,
+    keep_first: bool = True,
+    clean_col: str = "clean",
+) -> DataFrame:
+    """The rewrite half of substring dedup: cut the duplicated spans out
+    of every document, keeping (by default) each duplicated gram's
+    corpus-wide first occurrence — the Lee et al. 2022 "remove all but
+    one copy" policy. Adds ``clean_col`` with the excised text; all
+    other columns pass through.
+
+    Scale contract: span detection is ``duplicate_substring_spans`` (its
+    plan notes apply); the rewrite itself is one left join of the slim
+    span table back onto the corpus and a row-local fold — the spans
+    sort in-row, and the kept segments assemble with one pass of
+    ``substring``/``concat`` per span (native, no UDF).
+    """
+    spans = duplicate_substring_spans(
+        df, text_col=text_col, key_col=key_col, k=k, min_df=min_df,
+        keep_first=keep_first,
+    )
+    per_doc = spans.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            )
+        ).alias("_sps")
+    )
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    folded = F.aggregate(
+        F.coalesce(F.col("_sps"), F.array().cast("array<struct<s:int,e:int>>")),
+        F.struct(F.lit(1).alias("last"), F.lit("").alias("acc")),
+        lambda acc, sp: F.struct(
+            sp["e"].alias("last"),
+            F.concat(
+                acc["acc"], F.substring(c, acc["last"], sp["s"] - acc["last"])
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"], F.substring(c, acc["last"], F.length(c) - acc["last"] + 1)
+        ),
+    )
+    return (
+        df.join(per_doc, key_col, "left")
+        .withColumn(clean_col, folded)
+        .drop("_sps")
     )

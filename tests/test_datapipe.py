@@ -1289,3 +1289,73 @@ def test_duplicate_substring_spans_matches_reference(spark):
         exp += [(d, s, e) for s, e in spans]
     assert got == sorted(exp)
     assert {d for d, _, _ in got} == {1, 2, 4}
+
+
+def test_excise_duplicate_substrings_keep_first(spark):
+    # keep_first excludes each gram's corpus-wide first occurrence (min
+    # (key, pos)) from span assembly, and the excise fold rebuilds the
+    # text from the kept segments — both pinned against the sequential
+    # reference; doc 1 (owner of the first occurrence) keeps the shared
+    # block, doc 2 loses exactly it
+    from collections import defaultdict
+
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        duplicate_substring_spans,
+        excise_duplicate_substrings,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again!"
+    rows = [
+        (1, "AAA " + shared + " unique tail one blah blah blah"),
+        (2, "BBBBBB " + shared + " other tail entirely different"),
+        (3, "no duplicated content here at all, pure one-off text"),
+        (4, "xyxyxyxy " + "Z" * 120 + " qq " + "Z" * 120),
+        (6, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 50
+    texts = {d: t for d, t in rows}
+    occ = defaultdict(list)
+    for d in sorted(texts):
+        t = texts[d]
+        for i in range(len(t) - k + 1):
+            occ[t[i : i + k]].append((d, i + 1))
+
+    marked = defaultdict(list)
+    for os_ in occ.values():
+        if len(os_) >= 2:
+            first = min(os_)
+            for o in os_:
+                if o != first:
+                    marked[o[0]].append(o[1])
+    exp_spans = []
+    for d, ps in marked.items():
+        cur = None
+        for p in sorted(ps):
+            if cur and p <= cur[1]:
+                cur[1] = p + k
+            else:
+                cur = [p, p + k]
+                exp_spans.append((d, cur))
+    exp_spans = sorted((d, s, e) for d, (s, e) in exp_spans)
+    got_spans = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_substring_spans(df, k=k, keep_first=True).collect()
+    )
+    assert got_spans == exp_spans
+    assert 1 not in {d for d, _, _ in got_spans}  # first occurrence kept
+
+    def ref_excise(d):
+        t = texts[d]
+        out, last = [], 1
+        for dd, s, e in exp_spans:
+            if dd == d:
+                out.append(t[last - 1 : s - 1])
+                last = e
+        out.append(t[last - 1 :])
+        return "".join(out)
+
+    got = {r.doc_id: r.clean for r in excise_duplicate_substrings(df, k=k).collect()}
+    assert got == {d: ref_excise(d) for d in texts}
+    assert got[1] == texts[1]  # untouched
+    assert shared not in got[2] and got[2].startswith("BBBBBB")
