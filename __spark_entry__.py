@@ -569,6 +569,22 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_substring_spans(_spread(spark, src), k=50, min_df=2)
 
 
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style LM quality signal: per-doc perplexity under an
+    # add-one bigram LM interpolated with unigram, trained on the corpus
+    # itself. Engine: vocabulary-sized count tables joined onto the
+    # token-transition stream, per-token log rounded to 9 dp BEFORE an
+    # exact decimal sum (reduce order cannot perturb the total), final
+    # round(,6) — the zscore float discipline. Oracle: the identical
+    # arithmetic in the identical operation order (incl. the exact
+    # 1-lam double literal) over the same transition stream.
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        ngram_perplexity,
+    )
+
+    return ngram_perplexity(_spread(spark, _docs(spark, sf_dir)))
+
+
 def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup parity for the daily-ingest shape (mirrors
     # dedup_incremental / dedup_simhash_incremental): the existing corpus
@@ -1335,6 +1351,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_incremental": q_dedup_semantic_incremental,
         "text_bpe_encode": q_text_bpe_encode,
         "dedup_substrings": q_dedup_substrings,
+        "text_perplexity": q_text_perplexity,
     }
 
 
@@ -1377,6 +1394,44 @@ def retired_oracle_sql() -> dict[str, str]:
           from events group by event_type
         """,    }
     oracles["text_bpe_encode"] = _bpe_encode_oracle()
+    # 0.3 is written as the exact double the engine computes for
+    # lit(1.0 - 0.7); ln/exp 1-ulp libm variance is absorbed by the
+    # round(,9)-before-decimal-sum and final round(,6)
+    one_minus_lam = repr(1.0 - 0.7)
+    oracles["text_perplexity"] = f"""
+      with t as (
+        select doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as tk
+        from documents),
+      st as (
+        select doc_id, s.pos as pos, s.prev as prev, s.cur as cur
+        from (select doc_id,
+                     unnest(list_transform(range(len(tk)),
+                            i -> {{'pos': i, 'cur': tk[i+1],
+                                  'prev': case when i > 0 then tk[i] else null end}})) as s
+              from t)
+        where s.cur <> ''),
+      uni as (select cur as w, count(*) as cu from st group by 1),
+      tot as (select sum(cu) as n, count(*) as v from uni),
+      bi as (select prev as w1, cur as w2, count(*) as cb from st
+             where prev is not null and prev <> '' group by 1, 2),
+      lp as (
+        select st.doc_id,
+          round(ln(case when st.prev is null or st.prev = ''
+            then (coalesce(u.cu, 0) + 1.0) / (tot.n + 1.0 * tot.v)
+            else 0.7 * ((coalesce(b.cb, 0) + 1.0) / (coalesce(up.cu, 0) + 1.0 * tot.v))
+                 + {one_minus_lam} * ((coalesce(u.cu, 0) + 1.0) / (tot.n + 1.0 * tot.v))
+          end), 9) as l
+        from st
+        left join uni u on st.cur = u.w
+        left join uni up on st.prev = up.w
+        left join bi b on st.prev = b.w1 and st.cur = b.w2
+        cross join tot)
+      select doc_id, cast(count(*) as bigint) as n_tokens,
+             round(exp(-cast(sum(cast(l as decimal(28,9))) as double)
+                       / cast(count(*) as double)), 6) as ppl
+      from lp group by doc_id
+    """
     oracles["dedup_substrings"] = """
       with src as (
         select doc_id, text from documents

@@ -37,6 +37,7 @@ from .similarity import (
 )
 from .text import (
     apply_bpe_merges,
+    ngram_perplexity,
     chunk_documents,
     detect_language,
     fingerprint,
@@ -76,6 +77,7 @@ __all__ = [
     "token_count",
     "token_frequencies",
     "apply_bpe_merges",
+    "ngram_perplexity",
     "fingerprint",
     "scrub_pii",
     "winnowing_fingerprints",

@@ -773,3 +773,123 @@ def winnowing_fingerprints(
             lambda i: F.array_min(F.slice(gram_hashes, i, window)),
         )
     )
+
+
+def ngram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    ref_df: DataFrame | None = None,
+    alpha: float = 1.0,
+    lam: float = 0.7,
+) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020 score documents
+    by perplexity under a reference LM; KenLM there, an add-alpha bigram
+    interpolated with unigram here — same filtering semantics, no binary
+    model dependency): per document,
+    ``ppl = exp(-(1/T) * sum log P(w_i | w_{i-1}))`` with
+    ``P = lam * (c(w_{i-1} w_i) + a) / (c(w_{i-1}) + a*V)
+        + (1-lam) * (c(w_i) + a) / (N + a*V)``
+    (first token scores unigram-only). Train counts come from ``ref_df``
+    (default: the corpus itself). Returns (key_col, n_tokens, ppl); docs
+    with no tokens drop out.
+
+    Scale contract: unigram/bigram count tables are map-side-combinable
+    aggregations over the reference corpus (vocabulary-sized output);
+    scoring joins them onto the exploded token-transition stream by
+    token key (hash joins — AQE broadcasts them when small) and the
+    per-doc reduction is map-side combinable. The corpus-total N and
+    vocabulary size V are ONE two-scalar driver collect (bounded by
+    construction).
+
+    Cross-engine float determinism (the zscore discipline): every count
+    is an exact integer, the smoothed probability is one IEEE double
+    division + one fused mix (identical operation order in the DuckDB
+    oracle), the per-token log is rounded to 9 dp BEFORE an exact
+    decimal(28,9) sum (so reduce order cannot perturb the total), and
+    the final perplexity rounds to 6 dp.
+    """
+    ref = ref_df if ref_df is not None else df
+    c_ref = F.coalesce(F.col(text_col), F.lit(""))
+    ref_toks = ref.select(F.explode(ws_tokens(c_ref)).alias("w")).filter(
+        F.col("w") != ""
+    )
+    uni = ref_toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    totals = uni.agg(
+        F.sum("cu").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    big_n, vocab_v = int(totals["n"] or 0), int(totals["v"] or 0)
+    # token array materialized FIRST, then the transition builder indexes
+    # the materialized column — referencing ws_tokens() inside the lambda
+    # would re-evaluate the tokenizer per element (the O(n^2) expression
+    # re-evaluation winnow_fingerprint_sets documents)
+    pairs = F.filter(
+        F.transform(
+            F.col("_toks"),
+            lambda w, i: F.struct(
+                i.alias("pos"),
+                F.when(i > 0, F.element_at(F.col("_toks"), i)).alias("prev"),
+                w.alias("cur"),
+            ),
+        ),
+        lambda s: s["cur"] != "",
+    )
+    bi = (
+        ref.select(ws_tokens(c_ref).alias("_toks"))
+        .select(F.explode(pairs).alias("t"))
+        .filter(F.col("t.prev").isNotNull() & (F.col("t.prev") != ""))
+        .groupBy(F.col("t.prev").alias("w1"), F.col("t.cur").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    trans = (
+        df.select(
+            F.col(key_col),
+            ws_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+        )
+        .select(F.col(key_col), F.explode(pairs).alias("t"))
+        .select(key_col, "t.pos", "t.prev", "t.cur")
+    )
+    scored = (
+        trans.join(uni.select(F.col("w").alias("cur"), "cu"), "cur", "left")
+        .join(
+            uni.select(F.col("w").alias("prev"), F.col("cu").alias("cprev")),
+            "prev",
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("w1").alias("prev"), F.col("w2").alias("cur"), "cb"
+            ),
+            ["prev", "cur"],
+            "left",
+        )
+    )
+    a = float(alpha)
+    p_uni = (F.coalesce(F.col("cu"), F.lit(0)).cast("double") + F.lit(a)) / F.lit(
+        float(big_n) + a * vocab_v
+    )
+    p_bi = (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + F.lit(a)) / (
+        F.coalesce(F.col("cprev"), F.lit(0)).cast("double") + F.lit(a * vocab_v)
+    )
+    p = F.when(
+        F.col("prev").isNull() | (F.col("prev") == ""), p_uni
+    ).otherwise(F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni)
+    lp = F.round(F.log(p), 9).cast("decimal(28,9)")
+    return (
+        scored.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(lp).alias("slp"),
+        )
+        .select(
+            key_col,
+            "n_tokens",
+            F.round(
+                F.exp(
+                    -(F.col("slp").cast("double"))
+                    / F.col("n_tokens").cast("double")
+                ),
+                6,
+            ).alias("ppl"),
+        )
+    )

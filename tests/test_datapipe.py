@@ -1359,3 +1359,63 @@ def test_excise_duplicate_substrings_keep_first(spark):
     assert got == {d: ref_excise(d) for d in texts}
     assert got[1] == texts[1]  # untouched
     assert shared not in got[2] and got[2].startswith("BBBBBB")
+
+
+def test_ngram_perplexity_matches_reference(spark):
+    # pure-Python interpolated bigram LM with the identical rounding
+    # discipline (per-token round(log,9), exact decimal sum, final
+    # round(,6)) — pins the smoothing arithmetic, the first-token
+    # unigram-only branch, the repeated-text-low / rare-words-high
+    # ordering, and that empty/null docs drop out
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        ngram_perplexity,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat and the cat ran"),
+        (2, "the the the the the"),
+        (3, "zebra quark flux omega"),
+        (4, None),
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.ppl) for r in ngram_perplexity(df).collect()}
+
+    texts = {d: (t or "") for d, t in rows}
+
+    def toks(t):
+        import re
+
+        t = re.sub(r"\s+", " ", t).lower().strip()
+        return [w for w in t.split(" ") if w] if t else []
+
+    uni = Counter(w for t in texts.values() for w in toks(t))
+    N, V = sum(uni.values()), len(uni)
+    bi = Counter()
+    for t in texts.values():
+        tk = toks(t)
+        for i in range(1, len(tk)):
+            bi[(tk[i - 1], tk[i])] += 1
+    lam, a = 0.7, 1.0
+    exp = {}
+    for d, t in texts.items():
+        tk = toks(t)
+        if not tk:
+            continue
+        s = Decimal(0)
+        for i, w in enumerate(tk):
+            pu = (uni.get(w, 0) + a) / (N + a * V)
+            if i == 0:
+                p = pu
+            else:
+                pb = (bi.get((tk[i - 1], w), 0) + a) / (uni.get(tk[i - 1], 0) + a * V)
+                p = lam * pb + (1.0 - lam) * pu
+            s += Decimal(str(round(math.log(p), 9)))
+        H = -float(s) / len(tk)
+        exp[d] = (len(tk), round(math.exp(H), 6))
+    assert got == exp
+    assert got[2][1] < got[1][1] < got[3][1]  # repetition < normal < rare
