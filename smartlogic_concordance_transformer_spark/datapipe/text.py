@@ -814,7 +814,15 @@ def ngram_perplexity(
     ref_toks = ref.select(F.explode(ws_tokens(c_ref)).alias("w")).filter(
         F.col("w") != ""
     )
-    uni = ref_toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    # the unigram table is consumed three times (totals, cur join, prev
+    # join) — cut its lineage so the tokenize+count runs once, not once
+    # per consumer (the truncate_lineage pattern the self-join dedup
+    # generators use); the totals collect below materializes it
+    uni = (
+        ref_toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=False)
+    )
     totals = uni.agg(
         F.sum("cu").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]

@@ -239,3 +239,32 @@ def test_semantic_dedup_plan_shape(spark):
         )
     )
     assert raw_plan.count("ArrowEvalPython") == 3
+
+
+def test_duplicate_substring_spans_plan_shape(spark):
+    # duplicated grams come from a count aggregation + hash join on the
+    # 8 B hash key — never a product — and span assembly is row-local
+    # (the interval-merge fold adds no Generate beyond the one gram
+    # explode and the final span explode)
+    import __spark_entry__ as entry
+
+    df = entry.q_dedup_substrings(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_perplexity_single_tokenizer_eval_per_stream(spark):
+    # the transition builder must index a MATERIALIZED token array —
+    # referencing the tokenizer inside the transform lambda would
+    # re-evaluate the regexp+split per element (O(tokens^2) per doc) —
+    # and the thrice-consumed unigram table must be lineage-cut, not
+    # recomputed per consumer. Pin: at most one regexp_replace per
+    # remaining corpus branch (bigram count + transition stream = 2)
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        ngram_perplexity,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    plan = ngram_perplexity(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") <= 2, plan
