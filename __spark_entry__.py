@@ -585,6 +585,25 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_perplexity(_spread(spark, _docs(spark, sf_dir)))
 
 
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # domain mixing by token budget (the Pile / Llama mixture-recipe
+    # shape): per source, documents taken in deterministic md5 order
+    # until the cumulative whitespace-token count reaches the source's
+    # budget (take-until — the last row may overshoot, so budget > 0
+    # always yields a document). One window cumsum per source + filter;
+    # unnamed sources prune at the scan. Oracle: identical md5 ordering
+    # and cumulative rule in DuckDB window SQL.
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        token_budget_mix,
+    )
+
+    out = token_budget_mix(
+        _docs(spark, sf_dir),
+        {"src0": 500, "src1": 137, "src2": 1, "src3": 1000000000},
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup parity for the daily-ingest shape (mirrors
     # dedup_incremental / dedup_simhash_incremental): the existing corpus
@@ -1350,6 +1369,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows+schema+value check through the pytest gate instead
         "dedup_semantic_incremental": q_dedup_semantic_incremental,
         "text_bpe_encode": q_text_bpe_encode,
+        "sample_token_budget": q_sample_token_budget,
         # swapped INTO the driver gate in favour of these two (round 6):
         # text_fingerprint is a one-expression projection and
         # events_quantiles sits in the scan-agg family events_stats /
@@ -1399,6 +1419,24 @@ def retired_oracle_sql() -> dict[str, str]:
           from events group by event_type
         """,    }
     oracles["text_bpe_encode"] = _bpe_encode_oracle()
+    oracles["sample_token_budget"] = """
+      with d as (
+        select doc_id, source,
+               md5('mix:' || cast(doc_id as varchar)) as h,
+               len(string_split(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ')) as n_tokens
+        from documents
+        where source in ('src0', 'src1', 'src2', 'src3')),
+      b(source, budget) as (values
+        ('src0', 500), ('src1', 137), ('src2', 1), ('src3', 1000000000)),
+      c as (
+        select d.doc_id, d.source, d.n_tokens, b.budget,
+               sum(d.n_tokens) over (partition by d.source order by d.h, d.doc_id
+                 rows between unbounded preceding and current row) as cum_tokens
+        from d join b using (source))
+      select doc_id, source, cast(n_tokens as bigint) as n_tokens,
+             cast(cum_tokens as bigint) as cum_tokens
+      from c where cum_tokens - n_tokens < budget
+    """
     oracles["text_fingerprint"] = (
         "select doc_id, sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as fp from documents"
     )

@@ -21,7 +21,7 @@ from .dedup import (
     simhash_near_dups,
 )
 from .hygiene import boilerplate_lines, flag_contaminated, strip_boilerplate
-from .sampling import split_bucket, stratified_sample, train_test_split
+from .sampling import split_bucket, stratified_sample, token_budget_mix, train_test_split
 from .multimodal import FEATURE_SCHEMA, MEDIA_SCHEMA, extract_features, frame_sample_plan
 from .similarity import (
     brute_force_topk,
@@ -78,6 +78,7 @@ __all__ = [
     "token_frequencies",
     "apply_bpe_merges",
     "ngram_perplexity",
+    "token_budget_mix",
     "fingerprint",
     "scrub_pii",
     "winnowing_fingerprints",

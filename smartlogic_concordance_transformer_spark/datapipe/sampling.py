@@ -82,3 +82,60 @@ def stratified_sample(
             stratum_keep = b < format(buckets, "02x")
         keep = F.when(in_stratum, stratum_keep).otherwise(keep)
     return df.filter(keep)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain mixing by token budget: pretraining mixtures are specified
+    as tokens-per-source (the Pile / Llama recipe shape), not row
+    fractions — take documents from each source, in a deterministic
+    hash order, until the source's cumulative whitespace-token count
+    reaches its budget. Returns the selected rows plus ``n_tokens`` and
+    ``cum_tokens`` (the running total INCLUDING the row, so the last
+    selected row may overshoot the budget — take-until, not take-while-
+    under, ensuring a budget > 0 always yields at least one document).
+
+    Deterministic and engine-reproducible: the order inside a source is
+    ``(md5(salt ':' key), key)`` — no RNG state — so reruns, resumes,
+    and the DuckDB oracle select the identical document set.
+
+    Scale contract: one window cumsum per source (Spark range-partitions
+    the sort by the window key, so a source's docs sort within its own
+    partitions; sources are the partition keys — a few dozen at corpus
+    scale) and a filter. Sources absent from ``budgets`` drop out before
+    the shuffle (the filter prunes them at the scan).
+    """
+    srcs = list(budgets)
+    if not srcs:
+        raise ValueError("budgets must name at least one source")
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    )
+    n_tok = F.size(
+        F.split(F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")), " ")
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.create_map(
+        *[x for s in srcs for x in (F.lit(s), F.lit(int(budgets[s])))]
+    )[F.col(source_col)]
+    out = (
+        df.filter(F.col(source_col).isin(srcs))
+        .withColumn("_h", h)
+        .withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .drop("_h")
+    )
+    return out

@@ -1419,3 +1419,51 @@ def test_ngram_perplexity_matches_reference(spark):
         exp[d] = (len(tk), round(math.exp(H), 6))
     assert got == exp
     assert got[2][1] < got[1][1] < got[3][1]  # repetition < normal < rare
+
+
+def test_token_budget_mix_matches_reference(spark):
+    # deterministic hash-ordered take-until per source: the reference
+    # replays md5 ordering and the cumulative rule; budget 1 must yield
+    # exactly one (overshooting) doc, a huge budget the whole source,
+    # unnamed sources nothing
+    import hashlib
+    import re
+
+    from smartlogic_concordance_transformer_spark.datapipe import token_budget_mix
+
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    budgets = {"src0": 500, "src1": 137, "src2": 1, "src3": 10**9}
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.cum_tokens)
+        for r in token_budget_mix(df, budgets).collect()
+    }
+
+    def ntok(t):
+        t = re.sub(r"\s+", " ", t or "").strip()
+        return len(t.split(" "))
+
+    rows = df.select("doc_id", "source", "text").collect()
+    exp = {}
+    for s, b in budgets.items():
+        docs = sorted(
+            (hashlib.md5(f"mix:{r.doc_id}".encode()).hexdigest(), r.doc_id, ntok(r.text))
+            for r in rows
+            if r.source == s
+        )
+        cum = 0
+        for _, d, n in docs:
+            if cum < b:
+                cum += n
+                exp[d] = (s, n, cum)
+            else:
+                break
+    assert got == exp
+    by_src = {}
+    for d, (s, n, c) in got.items():
+        by_src.setdefault(s, 0)
+        by_src[s] += 1
+    assert by_src["src2"] == 1  # budget 1 -> exactly one doc
+    assert by_src["src3"] == 25  # huge budget -> whole source
+    assert not any(s == "src4" for s, _, _ in got.values())
+    with pytest.raises(ValueError, match="at least one source"):
+        token_budget_mix(df, {})
