@@ -91,6 +91,7 @@ def token_budget_mix(
     key_col: str = "doc_id",
     source_col: str = "source",
     salt: str = "mix",
+    bucket_chars: int = 2,
 ) -> DataFrame:
     """Domain mixing by token budget: pretraining mixtures are specified
     as tokens-per-source (the Pile / Llama recipe shape), not row
@@ -105,15 +106,32 @@ def token_budget_mix(
     ``(md5(salt ':' key), key)`` — no RNG state — so reruns, resumes,
     and the DuckDB oracle select the identical document set.
 
-    Scale contract: one window cumsum per source (Spark range-partitions
-    the sort by the window key, so a source's docs sort within its own
-    partitions; sources are the partition keys — a few dozen at corpus
-    scale) and a filter. Sources absent from ``budgets`` drop out before
-    the shuffle (the filter prunes them at the scan).
+    Scale contract — two-phase prefix sum. A single
+    ``Window.partitionBy(source)`` cumsum would hash-partition EVERY
+    document of a source into one task (window functions never
+    range-partition), serializing terabytes per task with a few dozen
+    sources at corpus scale. Instead the running total is split by an
+    ORDER-ALIGNED range bucket: the first ``bucket_chars`` hex chars of
+    the md5 order key itself (uniform by md5 randomness, and every row
+    of bucket '00' sorts before every row of '01' — a hash of the key
+    would scatter the sort order and per-bucket offsets could not
+    reconstruct the global cumsum). Phase 1 aggregates per-(source,
+    bucket) token subtotals from a slim (source, bucket, n_tokens)
+    projection; a window over that TINY table (≤ sources × 16^chars
+    rows) yields each bucket's starting offset. Phase 2 broadcast-joins
+    the offsets back — INNER, so buckets whose offset already meets the
+    budget are pruned before any sort (the take-until early exit) — and
+    runs the cumsum window within (source, bucket) only: 16^chars-way
+    parallelism per source instead of one task. Cost: the corpus is
+    scanned (and tokenized) twice, the classic two-phase trade — two
+    column-pruned scans beat one scan plus a single-task external sort
+    of a whole source.
     """
     srcs = list(budgets)
     if not srcs:
         raise ValueError("budgets must name at least one source")
+    if not 1 <= bucket_chars <= 8:
+        raise ValueError("bucket_chars must be in [1, 8]")
     from pyspark.sql import Window
 
     h = F.md5(
@@ -122,20 +140,46 @@ def token_budget_mix(
     n_tok = F.size(
         F.split(F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")), " ")
     )
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy("_h", key_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     budget = F.create_map(
         *[x for s in srcs for x in (F.lit(s), F.lit(int(budgets[s])))]
     )[F.col(source_col)]
-    out = (
+    base = (
         df.filter(F.col(source_col).isin(srcs))
         .withColumn("_h", h)
+        .withColumn("_b", F.substring(F.col("_h"), 1, bucket_chars))
         .withColumn("n_tokens", n_tok.cast("long"))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )
+    # phase 1: per-bucket subtotals, then each bucket's starting offset
+    # = sum of all LOWER buckets of the same source. The window here
+    # runs over the aggregated table only — at most
+    # len(srcs) * 16**bucket_chars rows, driver-tiny by construction.
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy(source_col, "_b")
+        .agg(F.sum("n_tokens").alias("_sub"))
+        .withColumn("_off", F.coalesce(F.sum("_sub").over(w_off), F.lit(0)))
+        # bucket pruning: a row is selected iff its cum-before < budget,
+        # and cum-before >= the bucket's offset — so a bucket whose
+        # offset already meets the budget contributes nothing; dropping
+        # it here (inner join below) skips its sort entirely.
+        .filter(F.col("_off") < budget)
+        .select(source_col, "_b", "_off")
+    )
+    # phase 2: cumsum within (source, bucket) — the exchange key now
+    # carries the bucket, so a source spreads over 16^chars tasks.
+    w_loc = (
+        Window.partitionBy(source_col, "_b")
+        .orderBy("_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        base.join(F.broadcast(offsets), [source_col, "_b"], "inner")
+        .withColumn("cum_tokens", F.col("_off") + F.sum("n_tokens").over(w_loc))
         .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
-        .drop("_h")
+        .drop("_h", "_b", "_off")
     )
     return out

@@ -268,3 +268,36 @@ def test_ngram_perplexity_single_tokenizer_eval_per_stream(spark):
     df = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
     plan = ngram_perplexity(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("regexp_replace") <= 2, plan
+
+
+def test_token_budget_mix_two_phase_plan(spark):
+    # the round-6 weak finding: Window.partitionBy(source) funneled each
+    # source's whole corpus through ONE task's sort. The two-phase
+    # rewrite must (a) key the big-side window exchange on (source,
+    # bucket) — 16^chars-way parallelism per source — and (b) broadcast
+    # the tiny offset table, never shuffle the corpus for the join
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        token_budget_mix,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(token_budget_mix(docs, {"src0": 500, "src3": 10**9}))
+    win_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "_b#" in ln
+    ]
+    assert win_exchanges, plan  # corpus-side sort is bucketed
+    assert all("source#" in ln for ln in win_exchanges)
+    assert "BroadcastHashJoin" in plan
+    # no whole-source exchange: every corpus hashpartitioning on source
+    # must carry the bucket too (the offsets side's own tiny window
+    # exchange partitions only ≤ 16^chars rows per source)
+    corpus_only = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "source#" in ln
+        and "_b#" not in ln
+    ]
+    assert len(corpus_only) <= 1, plan  # at most the tiny offsets window
