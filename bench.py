@@ -435,6 +435,15 @@ def scaling(n_small: int = 2, n_docs: int = 2_400_000) -> None:
                 check=True,
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            # emit() keeps stdout short; the subprocess just wrote the
+            # full result (canary samples, pipeline splits, load) to the
+            # detail side file — fold it back in for BASELINE.md regen
+            dp = os.path.join(REPO, "BENCH", "bench_detail.json")
+            try:
+                with open(dp) as df_:
+                    r = {**json.load(df_), **r}
+            except (OSError, ValueError):
+                pass
             passes[pass_no][cpus] = r
             prev = results.get(cpus)
             if prev is None or r["kg"]["triples_per_sec"] > prev["kg"]["triples_per_sec"]:
@@ -542,8 +551,34 @@ inflated by box phase, mechanically separating slow-box from slow-engine):
                       "sf": large["sf"]}))
 
 
+def emit(result: dict) -> str:
+    """One SHORT machine-readable line on stdout; bulk to a side file.
+
+    Round 6's single result line grew past the driver's tail-capture
+    window (BENCH_r06.json came back ``"parsed": null`` with the line
+    starting mid-number), so the flagship observability fields broke the
+    machine channel they report through. The headline keeps every field
+    the driver and the scaling harness consume — metric/value/queries,
+    per-query phase_factor, kg throughput, sf/cpus — compact-separated
+    (~1.2 KB for 20 queries); canary samples, pipeline splits, and load
+    go to BENCH/bench_detail.json.
+    """
+    detail_path = os.path.join(REPO, "BENCH", "bench_detail.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+    headline = {
+        k: result[k]
+        for k in ("metric", "value", "unit", "queries", "phase_factor",
+                  "sf", "cpus", "kg")
+        if k in result
+    }
+    headline["detail"] = "BENCH/bench_detail.json"
+    return json.dumps(headline, separators=(",", ":"))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
     else:
-        print(json.dumps(main()))
+        print(emit(main()))
