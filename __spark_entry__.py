@@ -2033,14 +2033,14 @@ def _bpe_chain(k: int, min_count: int) -> str:
       b{i} as (select a, b, cnt from p{i} order by cnt desc, a, b limit 1),
       v{i + 1} as (
         select s.token, s.freq,
-          case when len(s.syms) < 2 then s.syms
+          case when bb.a is null or len(s.syms) < 2 then s.syms
           else string_split(list_reduce(s.syms, (acc, x) -> case
             when list_extract(string_split(acc, chr(30)), -1) = bb.a and x = bb.b
             then array_to_string(list_append(
                    list_slice(string_split(acc, chr(30)), 1, len(string_split(acc, chr(30))) - 1),
                    bb.a || bb.b), chr(30))
             else acc || chr(30) || x end), chr(30)) end as syms
-        from v{i} s cross join b{i} bb)"""
+        from v{i} s left join b{i} bb on true)"""
 
     head = f"""
       with w as (

@@ -91,8 +91,28 @@ def ingest_batch(
     partition overwrite (see module docstring).
     """
     sig_dir, cand_dir = _dirs(store_dir)
+    base = read_signature_store(spark, store_dir)
+    if base is not None:
+        # probe strictly EARLIER batches only: batch ids are monotonic in
+        # Structured Streaming, so this both excludes a replayed batch's
+        # own previous output and keeps a late replay byte-identical to
+        # its original run (it cannot see batches committed after it)
+        base = base.filter(F.col("batch_id") < batch_id).drop("batch_id")
+    new_rows = batch_df.dropDuplicates([key_col])
+    if base is not None:
+        # minhash_incremental_candidates requires keys globally unique
+        # across both frames; a doc_id re-ingested in a later batch
+        # (routine in real streams) would otherwise accumulate duplicate
+        # signature rows in the store and make the probe emit degenerate
+        # (X, X) self-pairs (base-side rows carry no a != b filter).
+        # Anti-join the batch against the store's keys: a re-ingest is a
+        # no-op — its signature is already persisted and its pairs were
+        # emitted by the batch that first saw it. Cost per trigger is one
+        # slim key-column scan of the store joined against the (small)
+        # batch, cheaper than signing the re-ingests it removes.
+        new_rows = new_rows.join(base.select(key_col), key_col, "left_anti")
     new_sigs = minhash_signatures(
-        batch_df.dropDuplicates([key_col]),
+        new_rows,
         text_col=text_col,
         key_col=key_col,
         num_hashes=num_hashes,
@@ -101,13 +121,7 @@ def ingest_batch(
     # write, AND the signature write — cut lineage eagerly or the kernel
     # runs once per consumer
     ).localCheckpoint()
-    base = read_signature_store(spark, store_dir)
     if base is not None:
-        # probe strictly EARLIER batches only: batch ids are monotonic in
-        # Structured Streaming, so this both excludes a replayed batch's
-        # own previous output and keeps a late replay byte-identical to
-        # its original run (it cannot see batches committed after it)
-        base = base.filter(F.col("batch_id") < batch_id).drop("batch_id")
         cands = minhash_incremental_candidates(
             new_sigs, base, key_col=key_col, bands=bands, rows_per_band=rows_per_band,
             truncate_lineage=False,

@@ -262,7 +262,12 @@ def _parquet_footer_rows(path: str, spark: SparkSession | None = None) -> int:
     filesystem; for a non-local root (hdfs://, s3a://) it falls back to
     a Spark count over the freshly written table — one extra scan there,
     but never a crash after the expensive stage write already succeeded
-    (which would also lose the ledger entry and the stage's resumability)."""
+    (which would also lose the ledger entry and the stage's resumability).
+    The fallback also catches pyarrow's own ArrowInvalid — what
+    ``read_metadata`` actually raises on a truncated/corrupt footer, the
+    very post-write path the fallback exists for (OSError alone would
+    have let it crash)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     try:
@@ -271,7 +276,7 @@ def _parquet_footer_rows(path: str, spark: SparkSession | None = None) -> int:
             for name in os.listdir(path)
             if name.endswith(".parquet")
         )
-    except OSError:
+    except (OSError, pa.lib.ArrowInvalid):
         if spark is None:
             raise
         return spark.read.parquet(path).count()

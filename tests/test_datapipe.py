@@ -1467,3 +1467,37 @@ def test_token_budget_mix_matches_reference(spark):
     assert not any(s == "src4" for s, _, _ in got.values())
     with pytest.raises(ValueError, match="at least one source"):
         token_budget_mix(df, {})
+
+
+def test_bpe_encode_oracle_survives_merge_dry_out(spark):
+    # the round-6 latent divergence: _bpe_chain built v{i+1} via CROSS
+    # JOIN with b{i}, so a pair table running dry before n_merges made
+    # every later vocabulary EMPTY and the encode oracle returned zero
+    # rows while the engine (which just stops rewriting) returned full
+    # per-doc output. The LEFT JOIN passthrough must keep them equal on
+    # a corpus whose merges dry out (2 possible merges, k=8 requested)
+    import duckdb
+
+    import __spark_entry__ as entry
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    rows = [(1, "ab ab ab"), (2, "ab cd"), (3, "cd cd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = learn_bpe_merges(df, n_merges=8)
+    assert merges.count() < 8  # the fixture genuinely dries out
+    got = {
+        r.doc_id: (r.n_tokens, r.n_pieces)
+        for r in apply_bpe_merges(df, merges).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("create table documents(doc_id bigint, text varchar)")
+    con.executemany("insert into documents values (?, ?)", rows)
+    exp = {
+        d: (n, p)
+        for d, n, p in con.execute(entry._bpe_encode_oracle(k=8)).fetchall()
+    }
+    assert got == exp and len(got) == 3

@@ -136,3 +136,43 @@ def test_fingerprint_mismatch_refuses_stale_stages(spark, corpus, tmp_path):
     unfp = StageMaterializer(spark, root)
     with pytest.raises(ValueError, match="fingerprint"):
         _run(docs, bench, materialize=unfp)
+
+
+def test_footer_rows_falls_back_on_corrupt_footer(spark, tmp_path):
+    # pq.read_metadata raises pyarrow ArrowInvalid (NOT OSError) on a
+    # truncated footer — the post-write crash path the fallback exists
+    # for; with a session it must fall back to the Spark count over the
+    # intact files' directory, without one it must re-raise
+    import pyarrow as pa
+    import pytest
+
+    from smartlogic_concordance_transformer_spark.io_tables import (
+        _parquet_footer_rows,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+    assert _parquet_footer_rows(path) == 10
+    with open(f"{path}/corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 not a real footer")
+    with pytest.raises(pa.lib.ArrowInvalid):
+        _parquet_footer_rows(path, spark=None)
+    # with a session the ArrowInvalid must be swallowed and the Spark
+    # count taken instead — exercise the except branch directly on an
+    # intact table (metadata read stubbed to raise, Spark can still read)
+    import os
+    import pyarrow.parquet as pq
+
+    os.remove(f"{path}/corrupt.parquet")
+
+    def boom(*a, **k):
+        raise pa.lib.ArrowInvalid("truncated footer")
+
+    real = pq.read_metadata
+    pq.read_metadata = boom
+    try:
+        assert _parquet_footer_rows(path, spark=spark) == 10
+        with pytest.raises(pa.lib.ArrowInvalid):
+            _parquet_footer_rows(path, spark=None)
+    finally:
+        pq.read_metadata = real

@@ -118,3 +118,25 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     got2 = read_candidates(spark, store)
     assert sorted(map(tuple, sigs2.select("doc_id", "batch_id").collect())) == before_sig
     assert sorted(map(tuple, got2.select("a", "b", "batch_id").collect())) == before_cand
+
+
+def test_reingested_key_is_a_noop(spark, tmp_path):
+    # a doc_id re-ingested in a LATER batch (routine in real streams)
+    # must not accumulate a duplicate signature row or emit a degenerate
+    # (X, X) self-pair — the probe's contract requires keys globally
+    # unique across both frames, so the batch is anti-joined against the
+    # store's keys and a re-ingest is a no-op
+    store = str(tmp_path / "store")
+    b0 = [(i, _text(i)) for i in range(5)]
+    ingest_batch(spark, spark.createDataFrame(b0, SCHEMA), 0, store, **MH)
+    # batch 1: doc 3 re-ingested verbatim, doc 7 new twin of doc 2
+    b1 = [(3, _text(3)), (7, _text(2)), (8, _text(8))]
+    ingest_batch(spark, spark.createDataFrame(b1, SCHEMA), 1, store, **MH)
+
+    sigs = read_signature_store(spark, store)
+    rows = {(r.doc_id, r.batch_id) for r in sigs.select("doc_id", "batch_id").collect()}
+    assert (3, 0) in rows and (3, 1) not in rows  # one sig row per key
+    assert sigs.count() == 7  # 5 + the 2 genuinely-new docs
+    pairs = _pairs(read_candidates(spark, store))
+    assert (3, 3) not in pairs
+    assert (7, 2) in pairs
