@@ -723,6 +723,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REP_TOP_NS = (2, 3, 4)
 _REP_CHAR_NS = (5, 6, 7, 8, 9, 10)
+_REP_COV_NS = (5, 10)
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,10 +735,18 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts duplicate runs (r6; 1.5x the round-5 explode/groupBy form at
     # sf0.1 and no exchange at all at scale). Counts are exact integers,
     # divisions are int/int -> identical IEEE doubles across engines.
+    # r7: char_coverage_ns adds the TRUE A1 metric (unique character
+    # positions covered by beyond-first occurrences of duplicated
+    # n-grams, interval-merged in the same fold plan) alongside the
+    # occurrence-weighted proxy; the oracle unions char spans via SQL
+    # gaps-and-islands over word offsets.
     from smartlogic_concordance_transformer_spark.datapipe.text import repetition_stats
 
     return repetition_stats(
-        _spread(spark, _docs(spark, sf_dir)), ns=_REP_TOP_NS, char_dup_ns=_REP_CHAR_NS
+        _spread(spark, _docs(spark, sf_dir)),
+        ns=_REP_TOP_NS,
+        char_dup_ns=_REP_CHAR_NS,
+        char_coverage_ns=_REP_COV_NS,
     )
 
 
@@ -1898,18 +1907,72 @@ def _repetition_oracle() -> str:
         f"* 1.0 / greatest(sum(c * length(g)), 1), 6) as dup_{n}gram_char_frac from k{n} group by doc_id)"
         for n in _REP_CHAR_NS
     ]
+    # TRUE A1 char coverage (r7): per size, duplicate occurrences = every
+    # gram occurrence beyond its first (row_number over position), mapped
+    # to char spans via word start offsets in the space-joined stream,
+    # unioned with classic gaps-and-islands (running max end), divided by
+    # the stream length. Independently certifies the engine's word-walk
+    # interval fold AND (via the raw gram string) its xxhash64 keying.
+    wp_cte = """wp as (
+            select doc_id, s.j as j, s.l as l,
+                   coalesce(sum(s.l + 1) over (partition by doc_id order by s.j
+                     rows between unbounded preceding and 1 preceding), 0) as st
+            from (select doc_id,
+                         unnest(list_transform(range(len(words)),
+                                j -> {'j': j, 'l': length(words[j+1])})) as s
+                  from f))"""
+    cov_ctes = []
+    for n in _REP_COV_NS:
+        cov_ctes.append(f"""gi{n} as (
+            select doc_id, s.i as i, s.g as g
+            from (select doc_id,
+                         unnest(list_transform(range(greatest(len(words) - {n - 1}, 1)),
+                                i -> {{'i': i, 'g': array_to_string(words[i+1:i+{n}], ' ')}})) as s
+                  from f)),
+          d{n} as (
+            select doc_id, i from (
+              select doc_id, i,
+                     row_number() over (partition by doc_id, g order by i) as rn
+              from gi{n}) where rn > 1),
+          sp{n} as (
+            select d.doc_id, a.st as s, b.st + b.l as e
+            from d{n} d
+            join wp a on a.doc_id = d.doc_id and a.j = d.i
+            join wp b on b.doc_id = d.doc_id and b.j = d.i + {n - 1}),
+          ni{n} as (
+            select doc_id, s, e,
+                   case when s <= coalesce(max(e) over (partition by doc_id
+                         order by s rows between unbounded preceding and 1 preceding), -1)
+                       then 0 else 1 end as ni
+            from sp{n}),
+          il{n} as (
+            select doc_id, s, e,
+                   sum(ni) over (partition by doc_id order by s) as isl
+            from ni{n}),
+          cv{n} as (
+            select doc_id, sum(mx - mn) as cov
+            from (select doc_id, isl, max(e) as mx, min(s) as mn
+                  from il{n} group by 1, 2) group by 1),
+          o{n} as (
+            select f.doc_id,
+                   round(coalesce(cv.cov, 0) * 1.0
+                         / greatest(length(array_to_string(f.words, ' ')), 1), 6)
+                     as dup_{n}gram_char_coverage
+            from f left join cv{n} cv using (doc_id))""")
     joins = " ".join(
         [f"join t{n} using (doc_id)" for n in _REP_TOP_NS]
         + [f"join c{n} using (doc_id)" for n in _REP_CHAR_NS]
+        + [f"join o{n} using (doc_id)" for n in _REP_COV_NS]
     )
     cols = ", ".join(
         [f"top_{n}gram_frac" for n in _REP_TOP_NS]
         + [f"dup_{n}gram_char_frac" for n in _REP_CHAR_NS]
+        + [f"dup_{n}gram_char_coverage" for n in _REP_COV_NS]
     )
     sep = ",\n          "
     gram_block = sep.join(g_ctes)
     top_block = sep.join(t_ctes)
-    char_block = sep.join(c_ctes)
+    char_block = sep.join(c_ctes + [wp_cte] + cov_ctes)
     return f"""
           with w as (
             select doc_id,

@@ -194,6 +194,7 @@ def repetition_stats(
     char_dup_ns: tuple[int, ...] = (),
     hash_grams: bool = True,
     via: str = "fold",
+    char_coverage_ns: tuple[int, ...] = (),
 ) -> DataFrame:
     """Gopher-style repetition filter inputs (Rae et al. 2021, app. A1):
     per document, the duplicate-word / duplicate-line / duplicate-
@@ -216,6 +217,23 @@ def repetition_stats(
 
     — exact integer counts, 0 for documents with no repeated n-gram, 1
     is approached by a document that is one phrase repeated.
+
+    ``char_coverage_ns`` adds, per size, the TRUE Rae et al. metric:
+    ``dup_{n}gram_char_coverage`` = fraction of UNIQUE character
+    positions (of the whitespace-normalized lowercased token stream)
+    covered by occurrences beyond the first of any duplicated word
+    n-gram — overlapping duplicated grams never double-count a
+    character. "Beyond the first" matches the published repro
+    convention (a doc's canonical copy of a phrase is not 'duplicated
+    text'); a document that is one phrase repeated m times approaches
+    coverage (m-1)/m from above as overlaps chain. Computed in the same
+    zero-shuffle per-document fold plan: per size, the positional gram
+    stream sorts in-row, duplicate occurrences' word-index intervals
+    [p, p+n-1] come out as a sorted position list, and one O(W) fold
+    over the word stream merges the intervals while summing covered
+    word lengths + covered separators (exactly the char-interval union,
+    since spans are word-aligned). Fold path only — the shuffle form's
+    explode discards positions.
 
     Plan (``via='fold'``, the default): every output is a PER-DOCUMENT
     statistic, so nothing ever needs to leave the document's row — one
@@ -261,6 +279,11 @@ def repetition_stats(
     """
     if via not in ("fold", "shuffle"):
         raise ValueError(f"via must be 'fold' or 'shuffle', got {via!r}")
+    if char_coverage_ns and via != "fold":
+        raise ValueError(
+            "char_coverage_ns requires via='fold' — the shuffle form's "
+            "explode discards the gram positions the coverage union needs"
+        )
     from .dedup import shingles
 
     c = F.coalesce(F.col(text_col), F.lit(""))
@@ -279,7 +302,8 @@ def repetition_stats(
             _dup_frac(paras).alias("dup_para_frac"),
         ]
         return _repetition_fold(
-            df, c, frac_cols, ns, char_dup_ns, hash_grams, shingles
+            df, c, frac_cols, ns, char_dup_ns, hash_grams, shingles,
+            char_coverage_ns=char_coverage_ns,
         )
     # NB: the tag lambda must be built by a closure factory — a
     # `lambda g, n=n:` default-arg idiom has arity 2, which F.transform
@@ -375,6 +399,7 @@ def _repetition_fold(
     char_dup_ns: tuple[int, ...],
     hash_grams: bool,
     shingles,
+    char_coverage_ns: tuple[int, ...] = (),
 ) -> DataFrame:
     """Zero-shuffle repetition stats: per gram size, sort the in-row gram
     stream and fold duplicate runs (see ``repetition_stats``). The fold
@@ -382,7 +407,15 @@ def _repetition_fold(
     numerator, char denominator); sorting puts equal grams adjacent, so
     occurrence i>1 of a gram is exactly an element equal to its
     predecessor. One fold per gram size, shared when a size appears in
-    both ``ns`` and ``char_dup_ns``."""
+    both ``ns`` and ``char_dup_ns``.
+
+    ``char_coverage_ns`` adds the TRUE Rae et al. A1 metric per size (see
+    ``repetition_stats``); its position-carrying gram streams are staged
+    as materialized columns (``withColumn``) before any lambda indexes
+    them — referencing an unmaterialized sort/filter expression inside a
+    later higher-order-function lambda re-evaluates it per element, the
+    O(n^2) trap ``ngram_perplexity`` documents. Still a pure projection
+    chain: zero shuffle, zero explode, zero joins."""
     if hash_grams:
 
         def _key(g):
@@ -393,15 +426,16 @@ def _repetition_fold(
         def _key(g):
             return g
 
-    def _run_stats(n: int):
-        arr = F.array_sort(
-            F.transform(
-                shingles(c, k=n, word_grams=True, distinct=False),
-                lambda g: F.struct(
-                    _key(g).alias("g"), F.length(g).cast("long").alias("l")
-                ),
+    def _run_stats(n: int, arr: Column | None = None):
+        if arr is None:
+            arr = F.array_sort(
+                F.transform(
+                    shingles(c, k=n, word_grams=True, distinct=False),
+                    lambda g: F.struct(
+                        _key(g).alias("g"), F.length(g).cast("long").alias("l")
+                    ),
+                )
             )
-        )
         init = F.struct(
             *[
                 F.lit(0).cast("long").alias(a)
@@ -433,7 +467,70 @@ def _repetition_fold(
 
         return F.aggregate(arr, init, merge), F.size(arr)
 
-    stats = {n: _run_stats(n) for n in sorted(set(ns) | set(char_dup_ns))}
+    cov = sorted(set(char_coverage_ns))
+    work = df
+    if cov:
+        # stage 1: the token array, materialized once and shared by every
+        # coverage size's gram builder, denominator, and word-walk fold
+        work = work.withColumn("_rw0", ws_tokens(c))
+        rw = F.col("_rw0")
+        for n in cov:
+            # stage 2 per size: position-carrying sorted gram stream —
+            # struct (g, l, i) sorts by gram first, so duplicate runs stay
+            # adjacent and the FIRST element of a run is the first
+            # occurrence in document order (i ascends within a run). Gram
+            # construction replays `shingles` exactly (same tokenizer,
+            # same short-doc single-truncated-gram rule), so the proxy and
+            # coverage columns agree on what a gram is.
+            # NB: closure factories, not default-arg lambdas — an extra
+            # `n=n` default raises the lambda's arity and PySpark reads
+            # it as the (element, index) form (the _tag gotcha below)
+            def _gram_at(size: int):
+                return lambda i: F.array_join(
+                    F.slice(rw, i + F.lit(1), size), " "
+                )
+
+            cnt = F.greatest(F.size(rw) - F.lit(n - 1), F.lit(1))
+            grams = F.transform(
+                F.sequence(F.lit(0), cnt - F.lit(1)), _gram_at(n)
+            )
+            work = work.withColumn(
+                f"_sp{n}",
+                F.array_sort(
+                    F.transform(
+                        grams,
+                        lambda g, i: F.struct(
+                            _key(g).alias("g"),
+                            F.length(g).cast("long").alias("l"),
+                            i.cast("long").alias("i"),
+                        ),
+                    )
+                ),
+            )
+        for n in cov:
+            # stage 3 per size: duplicate-occurrence positions = elements
+            # equal to their predecessor in the gram-sorted stream (every
+            # occurrence beyond a gram's first), re-sorted to document
+            # order. F.get is 0-based and null out-of-bounds, so j=0
+            # compares against null and drops — first elements never dup.
+            sp = F.col(f"_sp{n}")
+
+            def _eq_prev(arr: Column):
+                return lambda x, j: F.get(arr, j - F.lit(1))["g"] == x["g"]
+
+            work = work.withColumn(
+                f"_P{n}",
+                F.array_sort(
+                    F.transform(
+                        F.filter(sp, _eq_prev(sp)), lambda x: x["i"]
+                    )
+                ),
+            )
+
+    stats = {
+        n: _run_stats(n, arr=F.col(f"_sp{n}") if n in cov else None)
+        for n in sorted(set(ns) | set(char_dup_ns))
+    }
     cols = list(frac_cols)
     for n in ns:
         st, sz = stats[n]
@@ -451,7 +548,71 @@ def _repetition_fold(
                 f"dup_{n}gram_char_frac"
             )
         )
-    return df.select(*cols)
+    if cov:
+        rw = F.col("_rw0")
+        den = F.greatest(F.length(F.array_join(rw, " ")), F.lit(1))
+        wl = F.transform(
+            rw,
+            lambda w, j: F.struct(
+                F.length(w).cast("long").alias("l"), j.cast("long").alias("j")
+            ),
+        )
+        for n in cov:
+            # stage 4 per size: one O(W) walk over the word stream merges
+            # the duplicate occurrences' word-index intervals [p, p+n-1]
+            # on the fly. Positions are unique, so at most one interval
+            # opens per word — the accumulator needs only a cursor into
+            # the (sorted) position list and the running max interval end:
+            #   word j is covered      iff max(p+n-1 : p <= j)   >= j
+            #   separator (j-1, j) is  iff max(p+n-1 : p <= j-1) >= j
+            # (a span's chars = its words plus the separators strictly
+            # inside it — spans are word-aligned, so summing covered word
+            # lengths + covered separators IS the char-interval union).
+            P = F.col(f"_P{n}")
+            init = F.struct(
+                F.lit(0).cast("long").alias("chars"),
+                F.lit(0).cast("int").alias("ptr"),
+                F.lit(-1).cast("long").alias("end"),
+            )
+
+            def _walk(size: int, pos: Column):
+                def merge(acc, x):
+                    sep = (
+                        F.when(
+                            (x["j"] > F.lit(0)) & (acc["end"] >= x["j"]),
+                            F.lit(1),
+                        )
+                        .otherwise(F.lit(0))
+                        .cast("long")
+                    )
+                    hasp = F.coalesce(
+                        F.get(pos, acc["ptr"]) == x["j"], F.lit(False)
+                    )
+                    end2 = F.when(hasp, x["j"] + F.lit(size - 1)).otherwise(
+                        acc["end"]
+                    )
+                    ptr2 = (
+                        acc["ptr"]
+                        + F.when(hasp, F.lit(1)).otherwise(F.lit(0))
+                    ).cast("int")
+                    add = F.when(end2 >= x["j"], x["l"]).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                    return F.struct(
+                        (acc["chars"] + sep + add).alias("chars"),
+                        ptr2.alias("ptr"),
+                        end2.alias("end"),
+                    )
+
+                return merge
+
+            chars = F.aggregate(
+                wl, init, _walk(n, P), lambda a: a["chars"]
+            )
+            cols.append(
+                F.round(chars / den, 6).alias(f"dup_{n}gram_char_coverage")
+            )
+    return work.select(*cols)
 
 
 def chunk_documents(

@@ -1501,3 +1501,72 @@ def test_bpe_encode_oracle_survives_merge_dry_out(spark):
         for d, n, p in con.execute(entry._bpe_encode_oracle(k=8)).fetchall()
     }
     assert got == exp and len(got) == 3
+
+
+def test_dup_ngram_char_coverage_matches_reference(spark):
+    # the TRUE Rae et al. A1 metric: unique character positions of the
+    # normalized token stream covered by occurrences beyond the first of
+    # duplicated word n-grams — overlap-heavy fixtures where the old
+    # occurrence-weighted proxy double-counts. Reference: brute-force
+    # char-mask over the space-joined tokens.
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        repetition_stats,
+    )
+
+    rows = [
+        (1, "a b c a b c a b c"),          # chained overlapping dups
+        (2, "x y z w q r"),                # no dup grams at all
+        (3, "spam spam spam spam spam"),   # one word repeated
+        (4, "the cat sat . the cat sat . on the mat"),
+        (5, ""),                           # empty
+        (6, None),                         # null text
+        (7, "a a a b a a a"),              # palindromic overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ns_cov = (2, 3)
+    got = {
+        r.doc_id: tuple(
+            r[f"dup_{n}gram_char_coverage"] for n in ns_cov
+        )
+        for r in repetition_stats(
+            df, ns=(2,), char_dup_ns=(2,), char_coverage_ns=ns_cov
+        ).collect()
+    }
+
+    def cover(text, n):
+        words = (text or "").lower().split()
+        if not words:
+            words = [""]
+        norm = " ".join(words)
+        # char start offset of each word in norm
+        starts, off = [], 0
+        for w in words:
+            starts.append(off)
+            off += len(w) + 1
+        k = max(len(words) - (n - 1), 1)
+        grams = [" ".join(words[i : i + n]) for i in range(k)]
+        seen, mask = set(), [False] * len(norm)
+        from collections import Counter
+
+        counts = Counter(grams)
+        first_seen = set()
+        for i, g in enumerate(grams):
+            if counts[g] > 1 and g in first_seen:
+                lo = starts[i]
+                hi = starts[min(i + n - 1, len(words) - 1)] + len(
+                    words[min(i + n - 1, len(words) - 1)]
+                )
+                for p in range(lo, hi):
+                    mask[p] = True
+            first_seen.add(g)
+        return round(sum(mask) / max(len(norm), 1), 6)
+
+    exp = {d: tuple(cover(t, n) for n in ns_cov) for d, t in rows}
+    assert got == exp
+    # sanity anchors: doc 3 "spam"x5 at n=2 — occurrences 2..4 of
+    # 'spam spam' cover chars 5..24 of a 24-char stream
+    assert exp[3][0] == round(19 / 24, 6)
+    assert exp[2] == (0.0, 0.0) and exp[5] == (0.0, 0.0)
+    assert exp[6] == (0.0, 0.0)
+    # coverage never double-counts: <= 1 even on doc 1's chained overlaps
+    assert all(0.0 <= v <= 1.0 for t in got.values() for v in t)
