@@ -883,11 +883,90 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "kept", "stage", "split")
 
 
-def _pipeline_raw(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def q_pipeline_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pipeline_e2e with the substring-dedup stage enabled: duplicated
+    # >= 40-char runs (the planted cross-doc disclaimer, the planted
+    # within-doc repeat, and the corpus-wide scrubbed PII line — 54
+    # identical chars in every doc) are excised keep-first from the
+    # near-dedup survivors, shingles REBUILD from the excised text, and
+    # decontamination/mix/split run downstream of the rewrite. Output is
+    # the 'excised' stage table itself (captured via the materialize
+    # hook) joined to each doc's final ledger outcome — so the oracle
+    # checks the rewritten BYTES and that the tail consumed them.
+    from smartlogic_concordance_transformer_spark.datapipe.curation import (
+        pretraining_pipeline,
+    )
+
+    raw, bench = _pipeline_raw(spark, sf_dir, plant_substrings=True)
+    captured: dict[str, DataFrame] = {}
+
+    def hook(df: DataFrame, stage: str) -> DataFrame:
+        out = df.localCheckpoint(eager=False)
+        captured[stage] = out
+        return out
+
+    ledger = pretraining_pipeline(
+        raw,
+        bench,
+        mix_fractions={"src0": 64, "src1": 128},
+        substring_dedup=True,
+        substring_k=40,
+        materialize=hook,
+    )
+    ex = captured["excised"].select("doc_id", "clean")
+    return ex.join(ledger.select("doc_id", "stage", "split"), "doc_id")
+
+
+# duplicated-substring plants for the substring_dedup pipeline variant:
+# a fixed cross-doc disclaimer tail (every doc_id % 30 == 7) and a
+# back-to-back repeat of the doc's own first 60 chars (every
+# doc_id % 45 == 13). The offsets are CRT-chosen so planted docs never
+# coincide with the twin (%40), spam (%60), or benchmark (%50) multiples:
+# 40k mod 30 ∈ {0,10,20}, 60k mod 30 = 0, 50k mod 30 ∈ {0,10,20} — never
+# 7; 40k/60k/50k mod 45 are multiples of 5 — never 13; and 7 (mod 30)
+# never meets 13 (mod 45). So planting perturbs no pipeline_e2e fixture
+# family and creates no new exact/near-dup pairs.
+_SUB_DISC = (
+    "this content is provided as is without warranty of any kind "
+    "either express or implied"
+)
+
+
+def _pipeline_raw(
+    spark: SparkSession, sf_dir: str, plant_substrings: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """The pipeline_e2e input corpus (raw docs with planted failures +
     benchmark frame) — shared by the contract query and the oracle-
-    precondition tests so both see the identical construction."""
+    precondition tests so both see the identical construction.
+
+    ``plant_substrings``: additionally plant duplicated >= 40-char runs
+    (see _SUB_DISC note) into the BASE docs, before twins/spam/bench are
+    derived — the pipeline_substring corpus."""
     d = _spread(spark, _docs(spark, sf_dir))
+    if plant_substrings:
+        t = F.col("text")
+        d = d.withColumn(
+            "text",
+            F.when(
+                F.pmod("doc_id", 30) == 7,
+                F.concat(
+                    t,
+                    F.lit("\ndoc"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" notice: " + _SUB_DISC),
+                ),
+            )
+            .when(
+                F.pmod("doc_id", 45) == 13,
+                F.concat(
+                    t,
+                    F.lit("\nrepeat: "),
+                    F.substring(t, 1, 60),
+                    F.substring(t, 1, 60),
+                ),
+            )
+            .otherwise(t),
+        )
     # planted failures so every stage fires: every 40th doc gets an exact
     # content twin whose PII line DIFFERS pre-scrub (different doc_id ->
     # different synthetic IP) but is identical post-scrub — exact dedup
@@ -1379,6 +1458,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_incremental": q_dedup_semantic_incremental,
         "text_bpe_encode": q_text_bpe_encode,
         "sample_token_budget": q_sample_token_budget,
+        "pipeline_substring": q_pipeline_substring,
         # swapped INTO the driver gate in favour of these two (round 6):
         # text_fingerprint is a one-expression projection and
         # events_quantiles sits in the scan-agg family events_stats /
@@ -1391,6 +1471,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def retired_oracle_sql() -> dict[str, str]:
     oracles = {
+        "pipeline_substring": _pipeline_oracle(substring=True),
         "events_pivot": """
           select user_id % 100 as ubucket,
                  count(*) filter (where event_type = 'click') as click,
@@ -2230,12 +2311,20 @@ def _pii_oracle() -> str:
     return f"select doc_id, {_pii_chain(expr)} as clean from documents"
 
 
-def _pipeline_e2e_oracle() -> str:
+def _pipeline_oracle(substring: bool = False) -> str:
     """Independent SQL replay of the whole curation cascade. Each stage
     reuses the same fragment shapes its standalone oracle uses; near-dedup
     is all-pairs (oracles don't need to scale) where the engine is
     banded-LSH — row-identical because every qualifying pair on this
-    corpus sits at j >= 0.9 (see q_pipeline_e2e's band note)."""
+    corpus sits at j >= 0.9 (see q_pipeline_e2e's band note).
+
+    ``substring=True`` replays the pipeline_substring variant: the
+    planted corpus (see _SUB_DISC), a keep-first duplicated-substring
+    excision stage after near-dedup (grams grouped on the RAW 40-char
+    substring where the engine groups on xxhash64 — agreement certifies
+    zero hash collisions, same as the dedup_substrings oracle), shingles
+    REBUILT from the excised text for the decontamination tail, and the
+    output = excised bytes joined to each doc's ledger outcome."""
     # shingle-set builder over a (doc_id, c) relation
     sets = (
         "select doc_id, list_distinct(list_transform("
@@ -2246,15 +2335,32 @@ def _pipeline_e2e_oracle() -> str:
         "coalesce(list_aggregate(list_filter(string_split(r.t, chr(10)), "
         "x -> not list_contains(bpl.ls, trim(x))), 'string_agg', chr(10)), '')"
     )
+    if substring:
+        # the planted base docs (mirrors _pipeline_raw plant_substrings;
+        # bench stays on raw documents — no %50 multiple is ever planted,
+        # see the _SUB_DISC CRT note)
+        docs0 = f"""docs0 as (
+        select doc_id, source,
+               case when doc_id % 30 = 7
+                    then text || chr(10) || 'doc' || cast(doc_id as varchar) ||
+                         ' notice: {_SUB_DISC}'
+                    when doc_id % 45 = 13
+                    then text || chr(10) || 'repeat: ' ||
+                         substr(text, 1, 60) || substr(text, 1, 60)
+                    else text end as text
+        from documents),
+      """
+    else:
+        docs0 = "docs0 as (select doc_id, source, text from documents),\n      "
     return f"""
-      with raw0 as (
-        select doc_id, source, text from documents
+      with {docs0}raw0 as (
+        select doc_id, source, text from docs0
         union all
-        select doc_id + 200000, source, text from documents where doc_id % 40 = 0
+        select doc_id + 200000, source, text from docs0 where doc_id % 40 = 0
         union all
         select doc_id + 300000, source,
                repeat('spam ', 50) || 'doc' || cast(doc_id + 300000 as varchar)
-        from documents where doc_id % 60 = 0),
+        from docs0 where doc_id % 60 = 0),
       raw as (
         select doc_id, source,
                '=== COOKIE NOTICE: this site uses cookies ===' || chr(10) || text || chr(10) ||
@@ -2302,18 +2408,23 @@ def _pipeline_e2e_oracle() -> str:
              group by 1),
       dn as (select doc_id, 'near_dup' as stage from np),
       s3 as (select * from s2 where doc_id not in (select doc_id from np)),
-      bsh as (select distinct unnest(s) as g from (
+      {_pipeline_oracle_tail(sets, substring)}
+    """
+
+
+def _pipeline_oracle_tail(sets: str, substring: bool) -> str:
+    """The cascade tail after near-dedup: [substring excision ->]
+    decontamination -> mix -> split, plus the variant's final select."""
+    bsh = """bsh as (select distinct unnest(s) as g from (
                 select list_distinct(list_transform(range(greatest(len(toks) - 2, 1)),
                        i -> array_to_string(toks[i+1:i+3], ' '))) as s
                 from (select string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as toks
-                      from documents where doc_id % 50 = 0))),
-      dsh as (select t.doc_id, len(t.s) as n_sh, unnest(t.s) as g
-              from sets2 t join s3 using (doc_id)),
-      fl as (select doc_id from
+                      from documents where doc_id % 50 = 0))),"""
+    mix_tail = """fl as (select doc_id from
              (select doc_id, n_sh, count(*) as n_o from dsh join bsh using (g) group by 1, 2)
              where round(n_o * 1.0 / greatest(n_sh, 1), 6) >= 0.5),
       dc as (select doc_id, 'contaminated' as stage from fl),
-      s4 as (select * from s3 where doc_id not in (select doc_id from fl)),
+      s4 as (select {s4_cols} from {s4_src} where doc_id not in (select doc_id from fl)),
       keptmix as (select * from s4 where case
                     when source = 'src0'
                       then substr(md5('sample:' || cast(doc_id as varchar)), 1, 2) < '40'
@@ -2321,7 +2432,12 @@ def _pipeline_e2e_oracle() -> str:
                       then substr(md5('sample:' || cast(doc_id as varchar)), 1, 2) < '80'
                     else true end),
       dm as (select doc_id, 'mix' as stage from s4
-             where doc_id not in (select doc_id from keptmix)),
+             where doc_id not in (select doc_id from keptmix))"""
+    if not substring:
+        return f"""{bsh}
+      dsh as (select t.doc_id, len(t.s) as n_sh, unnest(t.s) as g
+              from sets2 t join s3 using (doc_id)),
+      {mix_tail.format(s4_cols='*', s4_src='s3')},
       drops as (select * from dq union all select * from dr union all select * from de
                 union all select * from dn union all select * from dc union all select * from dm)
       select doc_id, true as kept, 'kept' as stage,
@@ -2329,8 +2445,58 @@ def _pipeline_e2e_oracle() -> str:
                   then 'test' else 'train' end as split
       from keptmix
       union all
-      select doc_id, false, stage, cast(null as varchar) from drops
-    """
+      select doc_id, false, stage, cast(null as varchar) from drops"""
+    # substring variant: keep-first span detection + excision over s3's
+    # cleaned text (k = 40, min_df = 2), shingles rebuilt from the
+    # excised bytes, then the identical decontamination/mix tail
+    return f"""sg as (select doc_id, c,
+                    unnest(range(1, greatest(len(c) - 39, 0) + 1)) as pos
+             from s3),
+      sgg as (select doc_id, cast(pos as int) as pos, substr(c, pos, 40) as gram from sg),
+      smk as (select doc_id, pos,
+                     count(*) over (partition by gram) as df,
+                     row_number() over (partition by gram order by doc_id, pos) as rn
+              from sgg),
+      sm as (select doc_id, pos from smk where df >= 2 and rn > 1),
+      sbrk as (select doc_id, pos,
+                      case when pos - lag(pos) over (partition by doc_id order by pos) <= 40
+                           then 0 else 1 end as brk
+               from sm),
+      sgrp as (select doc_id, pos,
+                      sum(brk) over (partition by doc_id order by pos) as grp
+               from sbrk),
+      sspan as (select doc_id, cast(min(pos) as int) as ss,
+                       cast(max(pos) + 40 as int) as se
+                from sgrp group by doc_id, grp),
+      ssp as (select doc_id, list({{'s': ss, 'e': se}} order by ss) as sps
+              from sspan group by doc_id),
+      excised as (
+        select s3.doc_id, s3.source,
+               case when sp.sps is null then s3.c
+                    else array_to_string(list_transform(
+                      range(len(sp.sps) + 1), i ->
+                        substr(s3.c,
+                          case when i = 0 then 1 else sp.sps[i].e end,
+                          (case when i = len(sp.sps) then len(s3.c) + 1
+                                else sp.sps[i + 1].s end)
+                          - (case when i = 0 then 1 else sp.sps[i].e end))), '')
+               end as c
+        from s3 left join ssp sp using (doc_id)),
+      sets3 as ({sets.format(src='excised')}),
+      {bsh}
+      dsh as (select t.doc_id, len(t.s) as n_sh, unnest(t.s) as g from sets3 t),
+      {mix_tail.format(s4_cols='doc_id, source', s4_src='excised')},
+      ledger as (
+        select doc_id, 'kept' as stage,
+               case when substr(md5('split:' || cast(doc_id as varchar)), 1, 2) < '1a'
+                    then 'test' else 'train' end as split
+        from keptmix
+        union all
+        select doc_id, 'contaminated', cast(null as varchar) from fl
+        union all
+        select doc_id, 'mix', cast(null as varchar) from dm)
+      select x.doc_id as doc_id, x.c as clean, l.stage as stage, l.split as split
+      from excised x join ledger l using (doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2756,7 +2922,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow": _winnow_oracle(),
         "dedup_winnow_pairs": _winnow_pairs_oracle(),
         "text_bpe_merges": _bpe_oracle(),
-        "pipeline_e2e": _pipeline_e2e_oracle(),
+        "pipeline_e2e": _pipeline_oracle(),
         "split_stratified": """
           select doc_id, source from documents
           where case

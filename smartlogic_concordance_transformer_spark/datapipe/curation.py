@@ -70,6 +70,8 @@ def pretraining_pipeline(
     mix_fractions: dict[str, int] | None = None,
     boilerplate_min_docs: int = 5,
     shingle_k: int = 3,
+    substring_dedup: bool = False,
+    substring_k: int = 50,
     materialize: Callable[[DataFrame, str], DataFrame] | None = None,
 ) -> DataFrame:
     """Run the full curation cascade; returns the per-doc ledger.
@@ -89,7 +91,17 @@ def pretraining_pipeline(
     run becomes resumable per stage via the stage ledger (a rerun over
     the same root reuses completed stages), which is the 100 TB shape
     the module docstring describes. Stage names, in write order:
-    cleaned, base, s2, sigs, dup_keys, flagged, kept_mix.
+    cleaned, base, s2, sigs, dup_keys, [excised,] flagged, kept_mix.
+
+    ``substring_dedup``: insert a substring-level dedup stage (Lee et
+    al. 2022) between near-dedup and decontamination — duplicated
+    >= ``substring_k``-char spans are excised from the survivors,
+    keeping each duplicated gram's corpus-wide first copy. The stage
+    REWRITES documents rather than dropping them (the ledger gains no
+    new drop stage); with a durable ``materialize`` the 'excised' table
+    is the run's curated-text artifact. The shingle column is REBUILT
+    from the excised text so decontamination judges what training will
+    actually see, not pre-excision grams.
     """
     mix_fractions = mix_fractions or {}
     barrier = materialize or (lambda df, stage: df.localCheckpoint(eager=False))
@@ -178,6 +190,26 @@ def pretraining_pipeline(
     )
     drops_near = _drop(s2.join(dup_keys, key_col, "left_semi"), key_col, "near_dup")
     s3 = s2.join(dup_keys, key_col, "left_anti")
+
+    if substring_dedup:
+        # -- substring-level dedup (Lee et al. 2022): cut duplicated
+        # >= substring_k-char spans out of the near-dedup survivors,
+        # keep-first. Whole-document grain above caught copies; this
+        # catches the shared boilerplate/citation/disclaimer RUNS inside
+        # otherwise-distinct documents. Shingles rebuild from the excised
+        # text — decontamination must judge post-excision content — and
+        # the stage barriers: the span join subgraph is expensive lineage
+        # every downstream consumer would otherwise replay.
+        from .dedup import excise_duplicate_substrings
+
+        s3 = (
+            excise_duplicate_substrings(
+                s3, text_col="clean", key_col=key_col, k=substring_k,
+                keep_first=True, clean_col="clean",
+            )
+            .withColumn("_sh", shingles("clean", shingle_k))
+        )
+        s3 = barrier(s3, "excised")
 
     # -- benchmark decontamination, length-normalized threshold
     flagged = (

@@ -649,6 +649,97 @@ def test_pretraining_pipeline_stage_attribution(spark):
     assert all(r.split is None for r in dropped)
 
 
+def test_pretraining_pipeline_substring_stage(spark):
+    """substring_dedup=True: duplicated >=k-char runs are excised from
+    the near-dedup survivors (keep-first), the 'excised' barrier carries
+    the rewritten text, and decontamination judges the POST-excision
+    shingles — a doc whose only benchmark overlap lives inside an excised
+    span must flip from contaminated (flag-only run) to kept."""
+    from smartlogic_concordance_transformer_spark.datapipe.curation import (
+        pretraining_pipeline,
+    )
+
+    hdr = "=== COOKIE BANNER ==="
+    disc = "all rights reserved no part of this text may be reproduced in any form"
+    unit = "the silver train hums along the quiet valley line "  # 51 chars
+    bodies = {
+        0: "the red fox runs across the open field and the morning light falls "
+           "gently on the quiet hills while distant birds call softly from the "
+           "old oak trees near the river bend",
+        1: "a small boat drifts slowly down the winding river as the fisherman "
+           "casts his line into the deep water hoping that the evening catch "
+           "will feed his family for the week",
+        2: "inside the busy kitchen the chef prepares a rich stew with fresh "
+           "herbs and root vegetables while steam rises from the copper pots "
+           "hanging above the worn wooden counter",
+        3: "the old library holds thousands of dusty books about science "
+           "history and art where students wander for hours between tall "
+           "shelves looking for that one perfect page of insight",
+        4: "heavy rain fell on the city all night filling the storm drains and "
+           "washing the empty streets clean before the sun returned to dry the "
+           "pavement in the early light",
+        # cross-doc duplication: 20 and 21 share the disclaimer sentence
+        # embedded in doc-specific lines (so hygiene cannot strip it: the
+        # trimmed LINES differ); keep-first keeps doc 20's copy
+        20: "wind turbines spin steadily on the far ridge while engineers "
+            "check the gearbox readings and log every small vibration in "
+            "their worn field notebooks before the evening shift",
+        21: "the night market fills with the smell of grilled corn and sweet "
+            "tea as vendors call out prices and children weave between the "
+            "crowded stalls under strings of paper lanterns",
+        # within-doc duplication: 22 repeats a 51-char run back to back
+        22: "the observatory dome opens slowly at dusk and the astronomer "
+            "aligns the mirror toward a faint cluster while crickets sing "
+            "in the dry grass outside the white walls",
+    }
+    rows = (
+        [(i, "web", f"{hdr}\n{bodies[i]}") for i in range(5)]
+        + [
+            (20, "web", f"{hdr}\n{bodies[20]}\nnote20 {disc}"),
+            (21, "web", f"{hdr}\n{bodies[21]}\nnote21 {disc}"),
+            (22, "web", f"{hdr}\n{bodies[22]}\nrep22 {unit}{unit}"),
+        ]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = spark.createDataFrame([(disc,)], "text string")
+
+    captured = {}
+
+    def hook(df, stage):
+        out = df.localCheckpoint(eager=False)
+        captured[stage] = out
+        return out
+
+    kwargs = dict(mix_fractions={}, boilerplate_min_docs=5, contamination_frac=0.15)
+    out = {
+        r.doc_id: r
+        for r in pretraining_pipeline(
+            docs, bench, substring_dedup=True, substring_k=30,
+            materialize=hook, **kwargs
+        ).collect()
+    }
+    assert len(out) == len(rows)  # rewrite stage drops no ledger rows
+    ex = {r.doc_id: r.clean for r in captured["excised"].collect()}
+    # keep-first: doc 20 (corpus-wide first occurrence) keeps the
+    # disclaimer; doc 21's copy is excised
+    assert disc in ex[20]
+    assert "rights reserved" not in ex[21] and bodies[21] in ex[21]
+    # within-doc: the back-to-back second copy collapses to one
+    assert ex[22].count("silver train") == 1 and bodies[22] in ex[22]
+    # decontamination judged POST-excision text: the disclaimer keeper is
+    # flagged, the doc whose copy was excised survives
+    assert out[20].stage == "contaminated" and not out[20].kept
+    assert out[21].kept and out[22].kept
+    # ...and flipping the stage off makes doc 21 contaminated — the
+    # excision, not the corpus, is what saved it
+    out_plain = {
+        r.doc_id: r
+        for r in pretraining_pipeline(docs, bench, **kwargs).collect()
+    }
+    assert out_plain[21].stage == "contaminated"
+    assert out_plain[20].stage == "contaminated"
+
+
 def test_asof_join_backward_semantics(spark):
     from smartlogic_concordance_transformer_spark.datapipe.asof import asof_join
 

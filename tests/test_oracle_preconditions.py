@@ -66,14 +66,17 @@ def test_raw_corpus_jaccard_band_is_empty():
     )
 
 
-def test_pipeline_lsh_candidates_cover_qualifying_pairs(spark):
+@pytest.mark.parametrize("plant", [False, True], ids=["e2e", "substring"])
+def test_pipeline_lsh_candidates_cover_qualifying_pairs(spark, plant):
     """pipeline_e2e's near-dedup (threshold 0.8, CLEANED text) does NOT
     have an empty band — 8 qualifying pairs sit in [0.857, 0.898) on the
     shipped corpus — so its engine=oracle equality rests on the stronger,
     deterministic fact asserted here: the fixed-seed 16x4 MinHash banding
     produces a candidate set that covers EVERY all-pairs qualifying pair
     of the cleaned corpus. (The pipeline's s2 stage is a subset of the
-    cleaned corpus, so coverage here implies coverage there.)"""
+    cleaned corpus, so coverage here implies coverage there.) Checked on
+    BOTH corpora: the pipeline_e2e one and the substring-planted
+    pipeline_substring one (plants perturb shingle sets slightly)."""
     from pyspark.sql import functions as F
 
     from smartlogic_concordance_transformer_spark.datapipe.dedup import (
@@ -86,7 +89,7 @@ def test_pipeline_lsh_candidates_cover_qualifying_pairs(spark):
     )
     from smartlogic_concordance_transformer_spark.datapipe.text import scrub_pii
 
-    raw, _ = entry._pipeline_raw(spark, SF_DIR)
+    raw, _ = entry._pipeline_raw(spark, SF_DIR, plant_substrings=plant)
     cleaned = strip_boilerplate(raw, min_docs=5).select(
         "doc_id", scrub_pii(F.col("clean_text")).alias("text")
     ).localCheckpoint(eager=False)
@@ -115,6 +118,36 @@ def test_pipeline_lsh_candidates_cover_qualifying_pairs(spark):
         "corpus; pipeline_e2e's engine (banded) would diverge from its "
         "all-pairs oracle — regenerate the corpus or widen the banding"
     )
+
+
+def test_pipeline_substring_stage_fires(spark):
+    """pipeline_substring's engine=oracle hash equality would also hold
+    if the excision stage silently no-opped (both sides would emit the
+    unrewritten text) — assert the planted duplication actually fires on
+    the shipped corpus: keep-first leaves exactly ONE copy of the planted
+    cross-doc disclaimer and of the corpus-wide scrubbed PII line, and
+    every planted within-doc back-to-back repeat is collapsed."""
+    con = _con()
+    firsts = dict(
+        con.execute(
+            "select doc_id, substr(text, 1, 60) from read_parquet(?) "
+            "where doc_id % 45 = 13",
+            [os.path.join(SF_DIR, "documents.parquet")],
+        ).fetchall()
+    )
+    by_id = {
+        r.doc_id: r.clean for r in entry.q_pipeline_substring(spark, SF_DIR).collect()
+    }
+    disc_docs = [i for i in by_id if i % 30 == 7]
+    assert len(disc_docs) >= 2, "planted disclaimer docs dropped before excision"
+    assert sum(entry._SUB_DISC in by_id[i] for i in disc_docs) == 1
+    pii = "contact <EMAIL> or <PHONE> ssn <SSN> card <CC> ip <IP>"
+    assert sum(pii in c for c in by_id.values()) == 1
+    rep_docs = [i for i in by_id if i % 45 == 13]
+    assert rep_docs, "planted within-doc repeat docs dropped before excision"
+    for i in rep_docs:
+        u = firsts[i]
+        assert u + u not in by_id[i] and by_id[i].count(u) <= 1
 
 
 def test_sim_ivf_float_separation():
