@@ -514,6 +514,7 @@ def semantic_dedup_incremental_pairs(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     truncate_lineage: bool = True,
+    new_assigned: bool = False,
 ) -> DataFrame:
     """Semantic-duplicate candidates for INCREMENTAL ingest — the
     daily-batch shape, mirroring ``minhash_incremental_candidates`` /
@@ -529,12 +530,24 @@ def semantic_dedup_incremental_pairs(
     Returns ``(a, b, cell)`` with cosine >= ``threshold``: ``a`` is a
     new key; ``b`` is an existing key, or a new key with ``a < b`` (each
     new-new pair reported once). Keys must be globally unique across
-    both frames. Same within-cell semantic as ``semantic_dedup_pairs``."""
-    na = spherical_assign(new_corpus, centroids, vec_col).select(
-        F.col(key_col).alias("_k"),
-        F.col("_cell").alias("cell"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
+    both frames. Same within-cell semantic as ``semantic_dedup_pairs``.
+
+    ``new_assigned=True``: ``new_corpus`` is ALREADY an assigned table
+    ``(key_col, cell, vec_col)`` — the streaming-ingest path, where the
+    sink signs each batch exactly once and persists the assigned rows;
+    ``centroids`` is then unused (assignment happened at signing)."""
+    if new_assigned:
+        na = new_corpus.select(
+            F.col(key_col).alias("_k"),
+            F.col("cell"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    else:
+        na = spherical_assign(new_corpus, centroids, vec_col).select(
+            F.col(key_col).alias("_k"),
+            F.col("_cell").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
     if truncate_lineage:
         na = na.localCheckpoint(eager=False)
     probe = base_assigned.select(

@@ -3,8 +3,13 @@ an executable Structured Streaming job, not prose.
 
 ``minhash_incremental_candidates`` (dedup.py) already gives the per-batch
 algebra — new batch banded against the persisted corpus signature table,
-existing corpus probed ONCE, never self-joined. This module wires it into
-``foreachBatch`` so an unbounded document stream maintains:
+existing corpus probed ONCE, never self-joined. The same algebra holds
+for all three incremental kernels, so the sink is generic over an
+``IngestKernel`` (sign, probe) pair: ``minhash_kernel`` (default),
+``simhash_kernel`` (8-byte fingerprints, hamming-banded probe), and
+``semantic_kernel`` (SemDeDup — assigned ``(key, cell, vec)`` rows,
+within-cell cosine probe against fixed centroids). This module wires the
+kernel into ``foreachBatch`` so an unbounded document stream maintains:
 
 * ``<store>/sigs``       — the corpus MinHash signature table (grows by
   one batch per trigger; partitioned by ingest batch),
@@ -28,6 +33,8 @@ batch ``dedup_incremental`` contract query.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +43,110 @@ from .dedup import minhash_incremental_candidates, minhash_signatures
 
 SIGS = "sigs"
 CANDIDATES = "candidates"
+
+
+@dataclass(frozen=True)
+class IngestKernel:
+    """A pluggable (sign, probe) pair for the incremental ingest sink.
+
+    All three incremental dedup kernels (MinHash, SimHash, SemDeDup)
+    share the same per-batch algebra — sign the new rows once, probe the
+    persisted corpus table once, never self-join the existing side — so
+    the sink is generic over:
+
+    * ``sign``:  batch DataFrame -> signature/fingerprint DataFrame with
+      ONE row per ``key_col`` (this is what the store persists,
+      partitioned by batch_id — MinHash signatures, SimHash fingerprints,
+      or SemDeDup's assigned ``(key, cell, vec)`` rows).
+    * ``probe``: (new_sigs, base_sigs) -> candidate pairs ``(a, b, ...)``
+      where ``a`` is a new key and ``b`` an existing key or a new key
+      with ``a < b`` — the shared contract of
+      ``minhash_incremental_candidates`` /
+      ``simhash_incremental_candidates`` /
+      ``semantic_dedup_incremental_pairs``. Must accept an EMPTY
+      base frame (first batch).
+    * ``key_col``: the key column name in both frames; keys must be
+      globally unique across the stream (the sink enforces this by
+      anti-joining re-ingests against the store).
+    """
+
+    sign: Callable[[DataFrame], DataFrame]
+    probe: Callable[[DataFrame, DataFrame], DataFrame]
+    key_col: str = "doc_id"
+
+
+def minhash_kernel(
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 64,
+    k: int = 5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> IngestKernel:
+    """The default kernel: MinHash signatures, banded-LSH probe."""
+
+    def sign(df: DataFrame) -> DataFrame:
+        return minhash_signatures(
+            df, text_col=text_col, key_col=key_col, num_hashes=num_hashes, k=k
+        )
+
+    def probe(new_sigs: DataFrame, base_sigs: DataFrame) -> DataFrame:
+        # lineage already cut by the sink's localCheckpoint on new_sigs
+        return minhash_incremental_candidates(
+            new_sigs, base_sigs, key_col=key_col, bands=bands,
+            rows_per_band=rows_per_band, truncate_lineage=False,
+        )
+
+    return IngestKernel(sign, probe, key_col)
+
+
+def simhash_kernel(
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    token_hash: Callable | None = None,
+) -> IngestKernel:
+    """SimHash fingerprints (zero-shuffle sign), 4x16-bit-chunk banded
+    popcount probe at hamming <= 3 — the store persists one 8-byte
+    fingerprint per key."""
+    from .dedup import simhash, simhash_incremental_candidates
+
+    def sign(df: DataFrame) -> DataFrame:
+        return simhash(df, text_col=text_col, key_col=key_col, token_hash=token_hash)
+
+    def probe(new_fps: DataFrame, base_fps: DataFrame) -> DataFrame:
+        return simhash_incremental_candidates(
+            new_fps, base_fps, key_col=key_col, truncate_lineage=False
+        )
+
+    return IngestKernel(sign, probe, key_col)
+
+
+def semantic_kernel(
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.99,
+) -> IngestKernel:
+    """SemDeDup over a FIXED centroid table (train once on a seed corpus,
+    then stream): sign = scale-invariant spherical assignment (each row
+    assigned exactly once, ever — the store persists ``(key, cell,
+    vec)``, cell-partitionable at scale); probe = within-cell cosine
+    against the persisted assigned corpus."""
+    from .similarity import semantic_dedup_incremental_pairs, spherical_assign
+
+    def sign(df: DataFrame) -> DataFrame:
+        return spherical_assign(df, centroids, vec_col).select(
+            key_col, F.col("_cell").alias("cell"), vec_col
+        )
+
+    def probe(new_assigned: DataFrame, base_assigned: DataFrame) -> DataFrame:
+        return semantic_dedup_incremental_pairs(
+            new_assigned, base_assigned, centroids, threshold=threshold,
+            vec_col=vec_col, key_col=key_col, truncate_lineage=False,
+            new_assigned=True,
+        )
+
+    return IngestKernel(sign, probe, key_col)
 
 
 def _dirs(store_dir: str) -> tuple[str, str]:
@@ -82,6 +193,7 @@ def ingest_batch(
     k: int = 5,
     bands: int = 16,
     rows_per_band: int = 4,
+    kernel: IngestKernel | None = None,
 ) -> None:
     """One micro-batch: sign, probe the store, persist pairs + signatures.
 
@@ -89,7 +201,19 @@ def ingest_batch(
     streaming sink and by batch backfill loops, so replaying a day through
     either path yields byte-identical tables. Idempotent per batch_id via
     partition overwrite (see module docstring).
+
+    ``kernel``: the (sign, probe) pair to run — defaults to the MinHash
+    kernel built from the legacy text/hash parameters; pass
+    ``simhash_kernel(...)`` or ``semantic_kernel(...)`` to maintain a
+    fingerprint or assigned-embedding store instead (one store per
+    kernel — signature schemas differ).
     """
+    if kernel is None:
+        kernel = minhash_kernel(
+            text_col=text_col, key_col=key_col, num_hashes=num_hashes,
+            k=k, bands=bands, rows_per_band=rows_per_band,
+        )
+    key_col = kernel.key_col
     sig_dir, cand_dir = _dirs(store_dir)
     base = read_signature_store(spark, store_dir)
     if base is not None:
@@ -111,28 +235,13 @@ def ingest_batch(
         # slim key-column scan of the store joined against the (small)
         # batch, cheaper than signing the re-ingests it removes.
         new_rows = new_rows.join(base.select(key_col), key_col, "left_anti")
-    new_sigs = minhash_signatures(
-        new_rows,
-        text_col=text_col,
-        key_col=key_col,
-        num_hashes=num_hashes,
-        k=k,
     # one computation feeds the probe join (both sides), the candidate
-    # write, AND the signature write — cut lineage eagerly or the kernel
-    # runs once per consumer
-    ).localCheckpoint()
-    if base is not None:
-        cands = minhash_incremental_candidates(
-            new_sigs, base, key_col=key_col, bands=bands, rows_per_band=rows_per_band,
-            truncate_lineage=False,
-        )
-    else:
-        # first batch: no corpus yet; new-vs-new only (empty base frame
-        # would need a schema — simpler and cheaper to skip the union)
-        cands = minhash_incremental_candidates(
-            new_sigs, new_sigs.limit(0), key_col=key_col, bands=bands,
-            rows_per_band=rows_per_band, truncate_lineage=False,
-        )
+    # write, AND the signature write — cut lineage eagerly or the sign
+    # kernel runs once per consumer
+    new_sigs = kernel.sign(new_rows).localCheckpoint()
+    # first batch: no corpus yet; new-vs-new only (an empty base frame
+    # needs a schema — the signed batch's own limit(0) provides it)
+    cands = kernel.probe(new_sigs, base if base is not None else new_sigs.limit(0))
     (
         cands.withColumn("batch_id", F.lit(batch_id))
         .repartition(1)  # candidate sets are tiny relative to the corpus
@@ -160,9 +269,11 @@ def start_incremental_dedup_stream(
     k: int = 5,
     bands: int = 16,
     rows_per_band: int = 4,
+    kernel: IngestKernel | None = None,
 ):
     """Attach the incremental-dedup sink to a streaming DataFrame of
-    (key_col, text_col) documents and start it. Returns the
+    (key_col, text_col) documents — or, with ``kernel=semantic_kernel
+    (...)``, of (key, embedding) vectors — and start it. Returns the
     StreamingQuery; candidates/signatures land under ``store_dir``."""
     spark = source.sparkSession
 
@@ -170,7 +281,7 @@ def start_incremental_dedup_stream(
         ingest_batch(
             spark, batch_df, batch_id, store_dir,
             text_col=text_col, key_col=key_col, num_hashes=num_hashes,
-            k=k, bands=bands, rows_per_band=rows_per_band,
+            k=k, bands=bands, rows_per_band=rows_per_band, kernel=kernel,
         )
 
     return (

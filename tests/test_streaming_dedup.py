@@ -140,3 +140,156 @@ def test_reingested_key_is_a_noop(spark, tmp_path):
     pairs = _pairs(read_candidates(spark, store))
     assert (3, 3) not in pairs
     assert (7, 2) in pairs
+
+
+def test_streaming_simhash_kernel_equals_backfill(spark, tmp_path):
+    """The pluggable SimHash kernel through the SAME foreachBatch sink:
+    streaming ingest == sequential batch backfill over the raw operators
+    (simhash sign, hamming-banded incremental probe)."""
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        simhash,
+        simhash_incremental_candidates,
+    )
+    from smartlogic_concordance_transformer_spark.datapipe.streaming_dedup import (
+        simhash_kernel,
+    )
+
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    batches = _batches()
+
+    _write_batch(in_dir, "b0.json", batches[0])
+    src = spark.readStream.schema(SCHEMA).json(in_dir)
+    q = start_incremental_dedup_stream(src, store, ckpt, kernel=simhash_kernel())
+    try:
+        q.processAllAvailable()
+        for n, rows in (("b1.json", batches[1]), ("b2.json", batches[2])):
+            _write_batch(in_dir, n, rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sigs = read_signature_store(spark, store)
+    assert sigs.count() == 30 and "simhash" in sigs.columns
+    got_pairs = _pairs(read_candidates(spark, store))
+    # exact twins have identical fingerprints (hamming 0) — guaranteed
+    assert {(13, 3), (15, 16), (25, 3), (25, 13)} <= got_pairs
+
+    expected: set = set()
+    base = None
+    for rows in batches:
+        fps = simhash(spark.createDataFrame(rows, SCHEMA)).localCheckpoint()
+        probe = base if base is not None else fps.limit(0)
+        expected |= _pairs(simhash_incremental_candidates(fps, probe))
+        base = fps if base is None else base.unionByName(fps)
+    assert got_pairs == expected
+
+
+VSCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _vec_batches():
+    """30 vectors in 18-d around two centroids (e0, e1): doc i sits in
+    cell i % 2 at a distinct angle (cos 0.3 toward the centroid, sin 0.3
+    toward basis axis 2 + i//2), so same-cell non-twins have cosine
+    cos^2(0.3) ~ 0.913 < 0.99 and never pair; planted twins are SCALED
+    copies (scale-invariant assignment + cosine exactly 1)."""
+    import math
+
+    def vec(i):
+        v = [0.0] * 18
+        v[i % 2] = math.cos(0.3)
+        v[2 + i // 2] = math.sin(0.3)
+        return v
+
+    def scaled(i, s):
+        return [x * s for x in vec(i)]
+
+    b0 = [(i, vec(i)) for i in range(10)]
+    b1 = [(i, vec(i)) for i in range(10, 20)]
+    b1[3] = (13, scaled(3, 2.0))    # cross-batch twin of 3 (cell 1)
+    b1[6] = (16, scaled(15, 2.0))   # within-batch twin of 15 (cell 1)
+    b2 = [(i, vec(i)) for i in range(20, 30)]
+    b2[5] = (25, scaled(3, 0.5))    # twin of 3 and 13
+    return [b0, b1, b2]
+
+
+CENTROIDS = [
+    [1.0] + [0.0] * 17,
+    [0.0, 1.0] + [0.0] * 16,
+]
+
+
+def _write_vec_batch(in_dir, name, rows):
+    os.makedirs(in_dir, exist_ok=True)
+    tmp = os.path.join(in_dir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for vec_id, emb in rows:
+            f.write(json.dumps({"vec_id": vec_id, "embedding": emb}) + "\n")
+    os.replace(tmp, os.path.join(in_dir, name))
+
+
+def test_streaming_semantic_kernel_equals_backfill(spark, tmp_path):
+    """The pluggable SemDeDup kernel: the store persists ASSIGNED
+    (key, cell, embedding) rows — each vector is assigned exactly once,
+    ever — and streaming ingest == sequential backfill over
+    spherical_assign + semantic_dedup_incremental_pairs."""
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        semantic_dedup_incremental_pairs,
+        spherical_assign,
+    )
+    from smartlogic_concordance_transformer_spark.datapipe.streaming_dedup import (
+        semantic_kernel,
+    )
+
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    batches = _vec_batches()
+
+    _write_vec_batch(in_dir, "b0.json", batches[0])
+    src = spark.readStream.schema(VSCHEMA).json(in_dir)
+    q = start_incremental_dedup_stream(
+        src, store, ckpt, kernel=semantic_kernel(CENTROIDS)
+    )
+    try:
+        q.processAllAvailable()
+        for n, rows in (("b1.json", batches[1]), ("b2.json", batches[2])):
+            _write_vec_batch(in_dir, n, rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sigs = read_signature_store(spark, store)
+    assert sigs.count() == 30 and "cell" in sigs.columns
+    # scaled twins land in the SAME cell (scale-invariant assignment)
+    cells = {r.vec_id: r.cell for r in sigs.collect()}
+    assert cells[13] == cells[3] == cells[25] and cells[16] == cells[15]
+    got_pairs = _pairs(read_candidates(spark, store))
+    assert {(13, 3), (15, 16), (25, 3), (25, 13)} <= got_pairs
+
+    expected: set = set()
+    base = None
+    for rows in batches:
+        na = (
+            spherical_assign(
+                spark.createDataFrame(rows, VSCHEMA), CENTROIDS, "embedding"
+            )
+            .select("vec_id", F.col("_cell").alias("cell"), "embedding")
+            .localCheckpoint()
+        )
+        probe = base if base is not None else na.limit(0)
+        expected |= _pairs(
+            semantic_dedup_incremental_pairs(
+                na, probe, CENTROIDS, key_col="vec_id",
+                new_assigned=True, truncate_lineage=False,
+            )
+        )
+        base = na if base is None else base.unionByName(na)
+    assert got_pairs == expected
