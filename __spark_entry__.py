@@ -1349,19 +1349,28 @@ def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-row standardization within each event_type; mean/std derived
-    # from exact decimal window sums so both engines emit identical doubles
-    from pyspark.sql import Window
-
+    # per-row standardization within each event_type — TWO-PHASE: exact
+    # decimal per-type totals via groupBy (map-side combinable), then the
+    # tiny stats table broadcast back onto the stream. A
+    # Window.partitionBy(event_type) computes the same doubles but
+    # funnels EVERY row of a type through one task's sort (5 types here
+    # -> 5 tasks; terabytes per task at 100 TB) — the same single-task-
+    # per-key shape token_budget_mix's r6 rewrite removed. The two forms
+    # are hash-identical because the decimal sums are exact (order-
+    # independent), so mean/std come out bit-equal either way.
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    w = Window.partitionBy("event_type")
     v = F.col("value").cast("decimal(18,6)")
-    s = F.sum(v).over(w).cast("double")
-    ss = F.sum(v * v).over(w).cast("double")
-    n = F.count(F.lit(1)).over(w).cast("double")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_ss"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    n = F.col("_n").cast("double")
     mean = s / n
     std = F.sqrt((ss - s * s / n) / (n - F.lit(1.0)))
-    return ev.select(
+    return ev.join(F.broadcast(stats), "event_type").select(
         "event_id", F.round((F.col("value") - mean) / std, 6).alias("z")
     )
 
@@ -1386,7 +1395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_quarantine": q_kg_quarantine,
         "kg_uuid_tme": q_kg_uuid_tme,
-        "kg_uuid_factset": q_kg_uuid_factset,
+        # r7 ROTATION (docs/COVERAGE.md "Gate rotation"): kg_uuid_factset
+        # -> pytest gate for a round; events_quantiles rotated back in so
+        # driver-side verification touches every family over time
+        "events_quantiles": q_events_quantiles,
         "kg_validate_ids": q_kg_validate_ids,
         "kg_cc": q_kg_cc,
         "graph_pagerank": q_graph_pagerank,
@@ -1459,13 +1471,14 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": q_text_bpe_encode,
         "sample_token_budget": q_sample_token_budget,
         "pipeline_substring": q_pipeline_substring,
-        # swapped INTO the driver gate in favour of these two (round 6):
-        # text_fingerprint is a one-expression projection and
-        # events_quantiles sits in the scan-agg family events_stats /
-        # events_zscore / cube_pricing already cover — the substring-
-        # dedup and LM-perplexity operators carry far more semantics
+        # swapped INTO the driver gate in favour of these (round 6):
+        # text_fingerprint is a one-expression projection — the
+        # substring-dedup and LM-perplexity operators carry far more
+        # semantics. events_quantiles rotated BACK into the gate in r7
+        # in place of kg_uuid_factset (long-stable: byte-exact golden
+        # UUID tests + the hashlib-literal oracle keep covering it here)
         "text_fingerprint": q_text_fingerprint,
-        "events_quantiles": q_events_quantiles,
+        "kg_uuid_factset": q_kg_uuid_factset,
     }
 
 
@@ -1530,16 +1543,14 @@ def retired_oracle_sql() -> dict[str, str]:
     oracles["text_fingerprint"] = (
         "select doc_id, sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as fp from documents"
     )
-    oracles["events_quantiles"] = """
-          select event_type,
-                 quantile_cont(value, 0.5) as p50,
-                 quantile_cont(value, 0.9) as p90,
-                 quantile_cont(value, 0.99) as p99
-          from events group by event_type
-        """
-    sql = _dedup_semantic_incremental_oracle()
-    if sql is not None:
-        oracles["dedup_semantic_incremental"] = sql
+    for name, builder in (
+        ("dedup_semantic_incremental", _dedup_semantic_incremental_oracle),
+        # rotated out of the driver gate in r7 (see retired_queries)
+        ("kg_uuid_factset", _factset_uuid_oracle),
+    ):
+        sql = builder()
+        if sql is not None:
+            oracles[name] = sql
     return oracles
 
 
@@ -2971,10 +2982,16 @@ def oracle_sql() -> dict[str, str]:
     # (the scale the driver's correctness gate runs at); where that data
     # is absent the queries degrade to the driver's rows-only check
     # instead of breaking oracle_sql() entirely
+    oracles["events_quantiles"] = """
+          select event_type,
+                 quantile_cont(value, 0.5) as p50,
+                 quantile_cont(value, 0.9) as p90,
+                 quantile_cont(value, 0.99) as p99
+          from events group by event_type
+        """
     for name, builder in (
         ("sim_ivf", _sim_ivf_oracle),
         ("dedup_semantic", _dedup_semantic_oracle),
-        ("kg_uuid_factset", _factset_uuid_oracle),
         ("multimodal_features", _multimodal_oracle),
     ):
         sql = builder()

@@ -458,6 +458,7 @@ def duplicate_substring_spans(
     k: int = 50,
     min_df: int = 2,
     keep_first: bool = False,
+    bucket_chars: int = 4096,
 ) -> DataFrame:
     """Exact duplicate-substring detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): find,
@@ -482,10 +483,22 @@ def duplicate_substring_spans(
        must become a count of 10^9, not a 10^9-element reducer row),
        then an inner hash join back onto the gram stream; AQE's skew
        split handles hot hashes on the join side.
-    3. Span assembly is row-local: positions group back to their
-       document, and the maximal-interval merge is an in-row
-       sort_array + aggregate fold (same-length intervals merge iff
-       successive positions differ by <= k), then one explode.
+    3. Span assembly is a BOUNDED-BUFFER two-level interval merge
+       (interval union is associative, so it composes): positions first
+       group by (document, ``pos div bucket_chars``) — at most
+       ``bucket_chars`` distinct positions fit a bucket, so no reducer
+       row ever holds more, even for a pathological single document
+       whose every gram is duplicated (a 1 GiB boilerplate file yields
+       ~L/bucket_chars rows of <= bucket_chars positions, not one row of
+       10^9) — and merge in-row to per-bucket maximal intervals
+       (sort_array + aggregate fold: same-length intervals merge iff
+       successive positions differ by <= k). Level two groups the tiny
+       per-bucket interval lists by document and folds them the same way
+       (flatten + sort + merge; a doc's interval count is bounded by
+       L / 2k — the size of the ANSWER — not by its duplicate-position
+       count), then one explode. Same-k intervals never nest, so
+       sorted-by-start implies sorted-by-end and the fold stays a
+       single pass.
     Exactness rides on 64-bit gram hashes: at N total grams the
     collision expectation is ~N^2/2^65 (document-level false spans only
     on collision; negligible below ~10^8 grams per corpus — beyond
@@ -503,20 +516,62 @@ def duplicate_substring_spans(
     (pinned by test_excise_duplicate_substrings_keep_first's reference).
     """
     c = F.coalesce(F.col(text_col), F.lit(""))
-    n_grams = F.length(c) - F.lit(k - 1)
-    # sequence(1, n) DESCENDS when n < 1, so short docs must yield an
+    # gram extraction is SEGMENTED, not a direct substring(c, i, k) per
+    # position: JVM substring locates a char offset by scanning from the
+    # string start (UTF8String is variable-width), so per-position
+    # extraction over one long document is O(L^2) — measured 74 s for a
+    # single 160 KB doc vs ~1 s segmented. The (?s)(?<=\G.{N}) chunk
+    # split is the O(L) fixed-width idiom; each chunk is overlapped with
+    # the next chunk's first k-1 chars so boundary grams exist, local
+    # gram starts stay within the chunk's own bucket_chars, and the
+    # global position is off + local. This also bounds the per-row gram
+    # array (one segment's worth, never the whole document) and lets the
+    # gram build of ONE huge document parallelize across tasks after the
+    # segment explode.
+    seg = bucket_chars
+    # fast path: a doc that fits one segment (the overwhelming majority
+    # of a web corpus) skips the chunk-split regex — the lookbehind costs
+    # O(len * seg) worst-case per doc, pure overhead when it can only
+    # ever yield one chunk
+    chunks = F.when(F.length(c) <= seg, F.array(c)).otherwise(
+        F.split(c, "(?s)(?<=\\G.{" + str(seg) + "})", -1)
+    )
+    seg_structs = F.transform(
+        F.sequence(F.lit(0), F.size(chunks) - 1),
+        lambda b: F.struct(
+            (b * seg).alias("off"),
+            F.concat(
+                F.element_at(chunks, b + 1),
+                F.substring(
+                    # try_: the last chunk has no successor (ANSI mode
+                    # makes plain element_at THROW on out-of-bounds)
+                    F.coalesce(F.try_element_at(chunks, b + 2), F.lit("")),
+                    1,
+                    k - 1,
+                ),
+            ).alias("t"),
+        ),
+    )
+    segs = df.select(F.col(key_col), F.explode(seg_structs).alias("sg")).select(
+        key_col, "sg.off", "sg.t"
+    )
+    # local gram starts: 1..min(len(t)-k+1, seg) — the min caps a middle
+    # chunk (len = seg+k-1) at exactly its own seg positions, while the
+    # tail chunk (no overlap appended) stops at its own last gram.
+    # sequence(1, n) DESCENDS when n < 1, so short segments must yield an
     # empty gram array explicitly, not a clamped sequence
-    positions = F.when(
-        n_grams >= 1, F.sequence(F.lit(1), n_grams)
+    n_local = F.least(F.length(F.col("t")) - F.lit(k - 1), F.lit(seg))
+    loc_positions = F.when(
+        n_local >= 1, F.sequence(F.lit(1), n_local)
     ).otherwise(F.array().cast("array<int>"))
-    grams = df.select(
+    grams = segs.select(
         F.col(key_col),
         F.explode(
             F.transform(
-                positions,
+                loc_positions,
                 lambda i: F.struct(
-                    i.alias("pos"),
-                    F.xxhash64(F.substring(c, i, k)).alias("h"),
+                    (F.col("off") + i).alias("pos"),
+                    F.xxhash64(F.substring(F.col("t"), i, k)).alias("h"),
                 ),
             )
         ).alias("g"),
@@ -555,10 +610,32 @@ def duplicate_substring_spans(
         matched = matched.filter(
             ~((F.col(key_col) == F.col("first.k")) & (F.col("pos") == F.col("first.p")))
         )
+    # level 1: per (doc, position-range bucket) — the collect_list buffer
+    # is bounded by bucket_chars distinct positions, see docstring #3
+    per_bucket = matched.groupBy(
+        key_col, F.floor((F.col("pos") - 1) / F.lit(bucket_chars)).alias("_bk")
+    ).agg(F.collect_list("pos").alias("ps"))
+    # level 2: merge the per-bucket maximal intervals (answer-sized rows)
+    iv_merged = F.aggregate(
+        F.array_sort(F.flatten(F.col("ivs"))),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, sp: F.when(
+            (F.size(acc) > 0) & (sp["s"] <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"), sp["e"].alias("e")
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(sp))),
+    )
     return (
-        matched.groupBy(key_col)
-        .agg(F.collect_list("pos").alias("ps"))
-        .select(key_col, F.explode(merged).alias("sp"))
+        per_bucket.select(key_col, merged.alias("_iv"))
+        .groupBy(key_col)
+        .agg(F.collect_list("_iv").alias("ivs"))
+        .select(key_col, F.explode(iv_merged).alias("sp"))
         .select(
             key_col,
             F.col("sp.s").alias("span_start"),
@@ -575,6 +652,7 @@ def excise_duplicate_substrings(
     min_df: int = 2,
     keep_first: bool = True,
     clean_col: str = "clean",
+    bucket_chars: int = 4096,
 ) -> DataFrame:
     """The rewrite half of substring dedup: cut the duplicated spans out
     of every document, keeping (by default) each duplicated gram's
@@ -590,7 +668,7 @@ def excise_duplicate_substrings(
     """
     spans = duplicate_substring_spans(
         df, text_col=text_col, key_col=key_col, k=k, min_df=min_df,
-        keep_first=keep_first,
+        keep_first=keep_first, bucket_chars=bucket_chars,
     )
     per_doc = spans.groupBy(key_col).agg(
         F.sort_array(

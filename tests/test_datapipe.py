@@ -1452,6 +1452,52 @@ def test_excise_duplicate_substrings_keep_first(spark):
     assert shared not in got[2] and got[2].startswith("BBBBBB")
 
 
+def test_duplicate_substring_spans_pathological_doc(spark):
+    """The bounded-buffer guarantee: a single periodic document whose
+    EVERY gram is duplicated (~1.2M duplicate positions) must not funnel
+    all positions into one reducer row — the two-level merge holds at
+    most bucket_chars positions per level-1 group, and the exact result
+    is still the single full-document span."""
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        duplicate_substring_spans,
+    )
+
+    n = 150_000
+    text = "ab" * n  # 300k chars; every 50-gram occurs ~n times
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    spans = duplicate_substring_spans(df, k=50).collect()
+    assert [(r.doc_id, r.span_start, r.span_end) for r in spans] == [(1, 1, 2 * n + 1)]
+
+
+def test_duplicate_substring_spans_merge_across_buckets(spark):
+    """Intervals produced in different level-1 buckets must re-merge at
+    level 2: with bucket_chars=64, a duplicated run crossing the 64-char
+    boundary still comes back as ONE maximal span (and a run that stops
+    short of another bucket's run stays split)."""
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        duplicate_substring_spans,
+    )
+
+    k = 8
+    run = "zqwxvujh" * 20  # 160 chars, crosses the 64 and 128 boundaries
+    docs = [
+        (1, "a" * 0 + run + "-filler one 1-" + "m" * 40),
+        (2, "prefix two 2 " + run + "n" * 40),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_substring_spans(df, k=k, bucket_chars=64).collect()
+    )
+    ref = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_substring_spans(df, k=k, bucket_chars=1 << 20).collect()
+    )
+    assert got == ref
+    # doc 1's run starts at position 1 and is 160 chars: one maximal span
+    assert (1, 1, 161) in got
+
+
 def test_ngram_perplexity_matches_reference(spark):
     # pure-Python interpolated bigram LM with the identical rounding
     # discipline (per-token round(log,9), exact decimal sum, final
