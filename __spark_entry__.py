@@ -604,6 +604,51 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fastText-shape hashed linear quality model (feature hashing per
+    # Weinberger et al. 2009): per-token integer milli-weights from the
+    # 60-bit md5 bridge, one in-row fold, one IEEE division — a pure
+    # zero-shuffle projection whose logit is bit-identical in DuckDB
+    # (integer sum + single exactly-rounded division; no exp/ln).
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        quality_classifier,
+    )
+
+    return quality_classifier(_spread(spark, _docs(spark, sf_dir)))
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Efraimidis-Spirakis weighted sampling without replacement: k
+    # smallest deterministic Exp(weight) clocks (-ln(u)/w, u from the
+    # md5 bridge). Engine plan is TakeOrderedAndProject — per-partition
+    # k-heaps, no shuffle, no full sort; the clock value itself is never
+    # emitted (ln may differ cross-engine in the last ulp) and a runtime
+    # assert certifies every ordering-deciding gap exceeds rounding
+    # noise. Oracle: identical u and clock in DuckDB, ORDER BY LIMIT.
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        weighted_sample,
+    )
+
+    return weighted_sample(_spread(spark, _docs(spark, sf_dir)), 200, "n_chars")
+
+
+def q_sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source weighted sample without replacement — two-phase per-key
+    # top-k: rank within (source, md5-bucket) first (16^2 tasks per
+    # source), re-rank the <= k * 256 survivors per source second — no
+    # single-task-per-source window over the corpus (the token_budget_mix
+    # r6 lesson), no unbounded collect_list. Oracle: one flat window
+    # rank in DuckDB (fine at oracle scale; the two-phase form exists
+    # for the 100 TB plan, selection is identical by construction).
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        stratified_weighted_sample,
+    )
+
+    return stratified_weighted_sample(
+        _spread(spark, _docs(spark, sf_dir)), 10, "n_chars"
+    )
+
+
 def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup parity for the daily-ingest shape (mirrors
     # dedup_incremental / dedup_simhash_incremental): the existing corpus
@@ -1471,6 +1516,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": q_text_bpe_encode,
         "sample_token_budget": q_sample_token_budget,
         "pipeline_substring": q_pipeline_substring,
+        "text_quality_classifier": q_text_quality_classifier,
+        "sample_weighted": q_sample_weighted,
+        "sample_weighted_stratified": q_sample_weighted_stratified,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1543,6 +1591,45 @@ def retired_oracle_sql() -> dict[str, str]:
     oracles["text_fingerprint"] = (
         "select doc_id, sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as fp from documents"
     )
+    # hashed linear classifier: identical tokenizer, identical 60-bit
+    # md5 bridge, integer milli-weight sum, one IEEE division
+    oracles["text_quality_classifier"] = """
+      with t as (
+        select doc_id,
+               unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) as tok
+        from documents),
+      a as (
+        select doc_id, count(*) as n_tokens,
+               sum(cast('0x' || substr(md5('qw:' || tok), 1, 15) as bigint) % 2001 - 1000) as w_sum
+        from t group by doc_id)
+      select doc_id, cast(n_tokens as bigint) as n_tokens,
+             cast(w_sum as bigint) as w_sum,
+             cast(w_sum as double) / (n_tokens * 1000.0) as logit,
+             cast(w_sum as double) / (n_tokens * 1000.0) > 0.0 as keep
+      from a
+    """
+    # Efraimidis-Spirakis clocks: u = (h+1)/2^60 from the md5 bridge,
+    # clock = -ln(u)/w; the clock never appears in the output columns
+    _ES_CLOCK = """
+      with d as (select doc_id, source, n_chars,
+          cast('0x' || substr(md5('ws:' || cast(doc_id as varchar)), 1, 15) as bigint) as h
+        from documents),
+      p as (select doc_id, source, n_chars,
+          -ln((h + 1) / 1152921504606846976.0) / n_chars as pr
+        from d)
+    """
+    oracles["sample_weighted"] = _ES_CLOCK + """
+      select doc_id, cast(n_chars as bigint) as weight,
+             row_number() over (order by pr, doc_id) as rank
+      from p order by pr, doc_id limit 200
+    """
+    oracles["sample_weighted_stratified"] = _ES_CLOCK + """
+      , r as (select source, doc_id, n_chars,
+          row_number() over (partition by source order by pr, doc_id) as rank
+        from p)
+      select source, doc_id, cast(n_chars as bigint) as weight, rank
+      from r where rank <= 10
+    """
     for name, builder in (
         ("dedup_semantic_incremental", _dedup_semantic_incremental_oracle),
         # rotated out of the driver gate in r7 (see retired_queries)

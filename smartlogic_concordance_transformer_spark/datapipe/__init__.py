@@ -21,7 +21,15 @@ from .dedup import (
     simhash_near_dups,
 )
 from .hygiene import boilerplate_lines, flag_contaminated, strip_boilerplate
-from .sampling import split_bucket, stratified_sample, token_budget_mix, train_test_split
+from .sampling import (
+    md5_long60,
+    split_bucket,
+    stratified_sample,
+    stratified_weighted_sample,
+    token_budget_mix,
+    train_test_split,
+    weighted_sample,
+)
 from .multimodal import FEATURE_SCHEMA, MEDIA_SCHEMA, extract_features, frame_sample_plan
 from .similarity import (
     brute_force_topk,
@@ -41,6 +49,7 @@ from .text import (
     chunk_documents,
     detect_language,
     fingerprint,
+    quality_classifier,
     quality_score,
     repetition_stats,
     scrub_pii,
@@ -79,6 +88,10 @@ __all__ = [
     "apply_bpe_merges",
     "ngram_perplexity",
     "token_budget_mix",
+    "md5_long60",
+    "weighted_sample",
+    "stratified_weighted_sample",
+    "quality_classifier",
     "fingerprint",
     "scrub_pii",
     "winnowing_fingerprints",

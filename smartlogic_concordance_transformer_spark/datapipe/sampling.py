@@ -24,6 +24,20 @@ def split_bucket(key, salt: str = "split") -> Column:
     return F.substring(F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 2)
 
 
+def md5_long60(key: Column | str, salt: str) -> Column:
+    """Deterministic 60-bit nonnegative integer from ``md5(salt ':' key)``
+    — the engine-portable hash bridge for anything that needs more than
+    ``split_bucket``'s 256 levels. 15 hex chars = 60 bits, inside the
+    signed-64 range of BOTH engines, so Spark
+    ``conv(substr(md5(x),1,15),16,10)`` and DuckDB
+    ``cast('0x' || substr(md5(x),1,15) as bigint)`` agree bit-for-bit
+    (verified by the pure-hashlib parity tests). Still a zero-shuffle
+    per-row projection."""
+    c = F.col(key) if isinstance(key, str) else key
+    hx = F.substring(F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 15)
+    return F.conv(hx, 16, 10).cast("long")
+
+
 def train_test_split(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -183,3 +197,156 @@ def token_budget_mix(
         .drop("_h", "_b", "_off")
     )
     return out
+
+
+def exp_clock_priority(
+    key: Column | str, weight: Column | str, salt: str = "ws"
+) -> Column:
+    """Efraimidis–Spirakis priority for weighted sampling WITHOUT
+    replacement: ``-ln(u) / w`` with ``u = (h + 1) / 2^60`` drawn
+    deterministically from ``md5(salt ':' key)`` — an Exp(w) arrival
+    clock per row; the k smallest clocks are exactly a weighted sample
+    without replacement (Efraimidis & Spirakis 2006, keys ``u^(1/w)``
+    — same ordering under -ln/w). No RNG state: reruns, resumes, and
+    the DuckDB oracle draw the identical u per key. u is in (0, 1] so
+    ln never sees 0; weights must be > 0 (caller-checked)."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (md5_long60(key, salt) + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    return -F.log(u) / w.cast("double")
+
+
+def _assert_priority_separation(priorities: list[float], what: str) -> None:
+    """ln() is the one non-exactly-rounded operation in the priority
+    (Java Math.log and libm log may differ in the last ulp), so the
+    cross-engine contract is: orderings agree PROVIDED no two adjacent
+    priorities sit within ~1 ulp. Assert a 1e-9 relative gap between
+    every adjacent pair that decides the output (the IVF 1-ulp
+    separation discipline) — astronomically safe margin over 2^-52,
+    and a loud failure instead of a silent oracle flake if a corpus
+    ever produces a near-tie."""
+    ps = sorted(priorities)
+    for a, b in zip(ps, ps[1:]):
+        if not (b - a) > 1e-9 * max(abs(b), 1e-300):
+            raise AssertionError(
+                f"{what}: adjacent sampling priorities {a!r} and {b!r} are "
+                "within float-rounding distance — cross-engine ordering is "
+                "not certifiable; change the salt"
+            )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "ws",
+    check_separation: bool = True,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of k rows
+    (inclusion odds proportional to ``weight_col``, no row twice) —
+    the pretraining shape 'sample 1M documents, long documents
+    proportionally more often' that a rows-fraction sampler cannot
+    express. Returns (key, weight, rank), rank 1 = smallest clock.
+
+    Scale contract: ``orderBy(priority).limit(k)`` compiles to
+    TakeOrderedAndProject — a per-partition k-row heap plus one driver
+    merge of k rows per partition, NO full sort and NO shuffle of the
+    corpus; the only data movement is k·P slim rows to the driver. The
+    rank column is a window over the ALREADY k-row result (bounded by
+    k, single tiny task — not the single-task-per-key anti-pattern,
+    there is no key and only k rows). The priority itself is never
+    emitted (ln is the one op that may differ cross-engine in the last
+    ulp); ``check_separation`` collects the top k+1 clocks once and
+    asserts every ordering-deciding gap exceeds float-rounding noise,
+    making the DuckDB comparison sound rather than lucky."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    pr = exp_clock_priority(key_col, weight_col, salt)
+    base = df.withColumn("_pr", pr)
+    if check_separation:
+        edge = [
+            r["_pr"]
+            for r in base.select("_pr").orderBy("_pr", key_col).limit(k + 1).collect()
+        ]
+        _assert_priority_separation(edge, f"weighted_sample(k={k})")
+    top = base.orderBy("_pr", key_col).limit(k)
+    w = Window.orderBy("_pr", key_col)
+    return top.select(
+        key_col,
+        F.col(weight_col).cast("long").alias("weight"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def stratified_weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "ws",
+    bucket_chars: int = 2,
+    check_separation: bool = True,
+) -> DataFrame:
+    """Per-stratum weighted sample without replacement: the k smallest
+    Exp(w) clocks WITHIN each stratum (k docs per source, long docs
+    favoured). Returns (strata, key, weight, rank), rank 1..k inside
+    each stratum.
+
+    Scale contract — two-phase per-key top-k, because the obvious
+    ``Window.partitionBy(source)`` rank funnels every row of a source
+    through ONE task's sort (the token_budget_mix r6 lesson). Phase 1
+    ranks within (source, md5-bucket): 16^chars tasks per source, each
+    sorting only its bucket slice, and keeps rows ranked ≤ k — a
+    bucket's local top-k certainly contains every global top-k member
+    that hashed into it. Phase 2 re-ranks the survivors within the
+    source — at most k · 16^chars slim rows per source by construction,
+    a bounded reducer row no matter the corpus size — and keeps rank
+    ≤ k. The corpus is scanned once; no collect_list ever holds an
+    unbounded group."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not 1 <= bucket_chars <= 8:
+        raise ValueError("bucket_chars must be in [1, 8]")
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    )
+    base = df.withColumn(
+        "_pr", exp_clock_priority(key_col, weight_col, salt)
+    ).withColumn("_b", F.substring(h, 1, bucket_chars))
+    w1 = Window.partitionBy(strata_col, "_b").orderBy("_pr", key_col)
+    survivors = (
+        base.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_b")
+    )
+    if check_separation:
+        w_edge = Window.partitionBy(strata_col).orderBy("_pr", key_col)
+        edge = (
+            survivors.withColumn("_r", F.row_number().over(w_edge))
+            .filter(F.col("_r") <= k + 1)
+            .select(strata_col, "_pr")
+            .collect()
+        )
+        by_stratum: dict[str, list[float]] = {}
+        for r in edge:
+            by_stratum.setdefault(r[strata_col], []).append(r["_pr"])
+        for stratum, ps in by_stratum.items():
+            _assert_priority_separation(
+                ps, f"stratified_weighted_sample({stratum!r}, k={k})"
+            )
+    w2 = Window.partitionBy(strata_col).orderBy("_pr", key_col)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            strata_col,
+            key_col,
+            F.col(weight_col).cast("long").alias("weight"),
+            "rank",
+        )
+    )

@@ -1062,3 +1062,76 @@ def ngram_perplexity(
             ).alias("ppl"),
         )
     )
+
+
+# ---- hashed linear quality classifier -------------------------------------
+
+CLASSIFIER_SCALE = 1000  # milli-units: weights are ints in [-1000, 1000]
+
+
+def hashed_token_weight(token: Column, salt: str = "qw") -> Column:
+    """Integer weight in [-1000, 1000] for a token, drawn deterministically
+    from the 60-bit md5 bridge (``sampling.md5_long60``): the feature-
+    hashing trick (Weinberger et al. 2009) with the hash standing in for
+    a trained weight vector — the model SHAPE (hashed unigram -> linear)
+    is fastText's (Joulin et al. 2017), and swapping these pseudo-weights
+    for a trained table changes nothing about the plan."""
+    from .sampling import md5_long60
+
+    return md5_long60(token, salt) % 2001 - 1000
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    threshold: float = 0.0,
+    salt: str = "qw",
+) -> DataFrame:
+    """fastText-style document quality classifier: mean of per-token
+    weights through a linear head — the CCNet / Llama 'quality model'
+    filtering stage, minus the binary model file. Returns
+    (key, n_tokens, w_sum, logit, keep) where
+    ``logit = w_sum / (n_tokens * SCALE)`` and ``keep = logit > threshold``.
+
+    ``weights`` (token -> integer milli-weight) plugs in a REAL trained
+    vocabulary: it folds into a literal in-row map lookup (absent tokens
+    weigh 0) — the broadcast-small-dim story with no join at all. With
+    ``weights=None`` every token scores via ``hashed_token_weight`` —
+    feature hashing, unbounded vocabulary, still in-row.
+
+    Scale contract: a pure zero-shuffle projection — tokenize, transform
+    to integer weights, one in-row fold; no explode, no join, no
+    aggregation across rows. Cross-engine float determinism: the fold
+    sums exact INTEGERS (order-independent), and the logit is one IEEE
+    division of exactly-representable doubles — bit-identical in DuckDB
+    (the zscore discipline), so ``keep`` needs no tolerance."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = ws_tokens(c)
+    if weights is None:
+        def _w(t):
+            return hashed_token_weight(t, salt).cast("long")
+    else:
+        for tok, wt in weights.items():
+            if not -CLASSIFIER_SCALE <= int(wt) <= CLASSIFIER_SCALE:
+                raise ValueError(f"weights[{tok!r}] outside milli-unit range")
+        wmap = F.create_map(
+            *[x for t, wt in weights.items() for x in (F.lit(t), F.lit(int(wt)))]
+        )
+
+        def _w(t):
+            return F.coalesce(F.element_at(wmap, t), F.lit(0)).cast("long")
+
+    w_sum = F.aggregate(
+        F.transform(toks, _w), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.size(toks).cast("long")
+    logit = w_sum.cast("double") / (n.cast("double") * float(CLASSIFIER_SCALE))
+    return df.select(
+        key_col,
+        n.alias("n_tokens"),
+        w_sum.alias("w_sum"),
+        logit.alias("logit"),
+        (logit > F.lit(float(threshold))).alias("keep"),
+    )

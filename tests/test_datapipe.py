@@ -1707,3 +1707,128 @@ def test_dup_ngram_char_coverage_matches_reference(spark):
     assert exp[6] == (0.0, 0.0)
     # coverage never double-counts: <= 1 even on doc 1's chained overlaps
     assert all(0.0 <= v <= 1.0 for t in got.values() for v in t)
+
+
+# ---- md5 bridge / classifier / weighted sampling --------------------------
+
+
+def _h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_md5_long60_matches_hashlib(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import md5_long60
+
+    keys = ["", "hello", "tok42", "Ünïcødé", "1234567890"]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {r["k"]: r["h"] for r in df.select("k", md5_long60("k", "s").alias("h")).collect()}
+    for k in keys:
+        assert got[k] == _h60(f"s:{k}"), k
+
+
+def _py_tokens(text: str) -> list[str]:
+    import re
+
+    return re.sub(r"\s+", " ", text or "").lower().strip().split(" ")
+
+
+def test_quality_classifier_matches_pure_python(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import quality_classifier
+
+    texts = [
+        (1, "The quick brown fox  jumps\tover the lazy dog"),
+        (2, ""),
+        (3, None),
+        (4, "spam spam SPAM!!! buy now"),
+        (5, "  padded   whitespace  everywhere   "),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in quality_classifier(df).collect()}
+    for doc_id, text in texts:
+        toks = _py_tokens(text)
+        ws = sum(_h60(f"qw:{t}") % 2001 - 1000 for t in toks)
+        logit = ws / (len(toks) * 1000.0)
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["w_sum"] == ws
+        assert r["logit"] == logit  # exact: integer sum + one division
+        assert r["keep"] == (logit > 0.0)
+
+
+def test_quality_classifier_literal_vocabulary(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import quality_classifier
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "spam spam offer")], ["doc_id", "text"]
+    )
+    wts = {"the": 500, "spam": -1000}
+    got = {r["doc_id"]: r for r in quality_classifier(df, weights=wts).collect()}
+    assert got[1]["w_sum"] == 500 and got[1]["keep"] is True
+    assert got[2]["w_sum"] == -2000 and got[2]["keep"] is False
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quality_classifier(df, weights={"x": 1001})
+
+
+def _py_clock(key, weight, salt="ws") -> float:
+    import math
+
+    u = (_h60(f"{salt}:{key}") + 1) / float(1 << 60)
+    return -math.log(u) / weight
+
+
+def test_weighted_sample_matches_pure_python(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import weighted_sample
+
+    rows = [(i, 1 + (i * 37) % 997) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"]).repartition(7)
+    got = [(r["doc_id"], r["weight"], r["rank"]) for r in weighted_sample(df, 25, "w").collect()]
+    expect = sorted(rows, key=lambda t: (_py_clock(t[0], t[1]), t[0]))[:25]
+    assert sorted(got, key=lambda t: t[2]) == [
+        (k, w, i + 1) for i, (k, w) in enumerate(expect)
+    ]
+
+
+def test_weighted_sample_is_repartition_invariant(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import weighted_sample
+
+    rows = [(i, 1 + i % 13) for i in range(200)]
+    a = spark.createDataFrame(rows, ["doc_id", "w"])
+    b = a.repartition(17)
+    ra = sorted(map(tuple, weighted_sample(a, 20, "w").collect()))
+    rb = sorted(map(tuple, weighted_sample(b, 20, "w").collect()))
+    assert ra == rb
+
+
+def test_stratified_weighted_sample_matches_pure_python(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        stratified_weighted_sample,
+    )
+
+    rows = [(i, f"s{i % 3}", 1 + (i * 11) % 101) for i in range(240)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"]).repartition(9)
+    got = sorted(
+        (r["source"], r["doc_id"], r["weight"], r["rank"])
+        for r in stratified_weighted_sample(df, 7, "w", key_col="doc_id").collect()
+    )
+    expect = []
+    for s in ("s0", "s1", "s2"):
+        members = [(k, w) for k, src, w in rows if src == s]
+        members.sort(key=lambda t: (_py_clock(t[0], t[1]), t[0]))
+        expect += [(s, k, w, i + 1) for i, (k, w) in enumerate(members[:7])]
+    assert got == sorted(expect)
+
+
+def test_priority_separation_assert_fires():
+    import pytest as _pytest
+
+    from smartlogic_concordance_transformer_spark.datapipe.sampling import (
+        _assert_priority_separation,
+    )
+
+    _assert_priority_separation([1.0, 2.0, 3.0], "ok")
+    with _pytest.raises(AssertionError):
+        _assert_priority_separation([1.0, 1.0 + 1e-12], "near-tie")

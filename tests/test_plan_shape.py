@@ -325,3 +325,64 @@ def test_repetition_with_coverage_is_zero_shuffle(spark):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "get(array_sort" not in opt
     assert "filter(array_sort" not in opt
+
+
+def test_quality_classifier_is_zero_shuffle(spark):
+    # the classifier's design claim: tokenize -> in-row integer fold ->
+    # one division, a pure projection — no Exchange, no explode, no
+    # Python, on BOTH weight paths (hashed and literal-map vocabulary)
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        quality_classifier,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for wts in (None, {"the": 500, "spam": -1000}):
+        plan = _plan(quality_classifier(docs, weights=wts))
+        assert "Exchange" not in plan, plan
+        assert "Generate" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    # orderBy(clock).limit(k) must compile to TakeOrderedAndProject
+    # (per-partition k-heaps + driver merge), never a full-sort
+    # Exchange of the corpus; the only allowed Exchange is the
+    # SinglePartition window over the ALREADY k-row result
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(weighted_sample(docs, 50, "n_chars", check_separation=False))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_stratified_weighted_sample_two_phase_plan(spark):
+    # phase-1 rank must exchange on (source, bucket) — never a
+    # whole-source hashpartitioning of the corpus; the only
+    # source-without-bucket exchange allowed is the phase-2 re-rank,
+    # which by construction sees <= k * 16^chars rows per source
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        stratified_weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        stratified_weighted_sample(docs, 10, "n_chars", check_separation=False)
+    )
+    bucketed = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "_b#" in ln and "source#" in ln
+    ]
+    assert bucketed, plan
+    source_only = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "source#" in ln
+        and "_b#" not in ln
+    ]
+    assert len(source_only) <= 1, plan
