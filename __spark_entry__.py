@@ -649,6 +649,21 @@ def q_sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # global sequence packing: concatenate all documents' tokens in
+    # deterministic md5 order, cut into 2048-token windows; per doc the
+    # global start offset, first/last window, and in-window offset. The
+    # global cumsum is the token_budget_mix bucketed two-phase prefix
+    # sum (order-aligned md5-prefix buckets), never a single-partition
+    # window over the corpus. All-integer arithmetic — no float
+    # discipline needed for the oracle.
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        pack_documents,
+    )
+
+    return pack_documents(_spread(spark, _docs(spark, sf_dir)), 2048)
+
+
 def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup parity for the daily-ingest shape (mirrors
     # dedup_incremental / dedup_simhash_incremental): the existing corpus
@@ -1519,6 +1534,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": q_text_quality_classifier,
         "sample_weighted": q_sample_weighted,
         "sample_weighted_stratified": q_sample_weighted_stratified,
+        "sample_pack": q_sample_pack,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1622,6 +1638,21 @@ def retired_oracle_sql() -> dict[str, str]:
       select doc_id, cast(n_chars as bigint) as weight,
              row_number() over (order by pr, doc_id) as rank
       from p order by pr, doc_id limit 200
+    """
+    # global packing: identical md5 order + one integer prefix sum
+    oracles["sample_pack"] = """
+      with d as (select doc_id,
+          md5('pack:' || cast(doc_id as varchar)) as h,
+          len(string_split(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ')) as n
+        from documents),
+      c as (select doc_id, n,
+          sum(n) over (order by h, doc_id rows between unbounded preceding and current row) as cum
+        from d)
+      select doc_id, cast(n as bigint) as n_tokens, cast(cum - n as bigint) as start,
+             cast((cum - n) // 2048 as bigint) as bin_first,
+             cast((cum - 1) // 2048 as bigint) as bin_last,
+             cast((cum - n) % 2048 as bigint) as bin_offset
+      from c
     """
     oracles["sample_weighted_stratified"] = _ES_CLOCK + """
       , r as (select source, doc_id, n_chars,

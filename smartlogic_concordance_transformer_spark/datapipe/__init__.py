@@ -23,6 +23,7 @@ from .dedup import (
 from .hygiene import boilerplate_lines, flag_contaminated, strip_boilerplate
 from .sampling import (
     md5_long60,
+    pack_documents,
     split_bucket,
     stratified_sample,
     stratified_weighted_sample,
@@ -89,6 +90,7 @@ __all__ = [
     "ngram_perplexity",
     "token_budget_mix",
     "md5_long60",
+    "pack_documents",
     "weighted_sample",
     "stratified_weighted_sample",
     "quality_classifier",

@@ -350,3 +350,86 @@ def stratified_weighted_sample(
             "rank",
         )
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = "pack",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Global sequence packing for pretraining: concatenate every
+    document's tokens in a deterministic md5 order and cut the stream
+    into fixed ``seq_len``-token windows (the GPT-style packed-batch
+    layout — documents may straddle a window boundary; the trainer
+    resets attention at document starts). Emits per document its global
+    token ``start`` offset, ``bin_first``/``bin_last`` (the windows it
+    touches) and ``bin_offset`` (position within the first window) —
+    the index a packing writer needs to place every doc without ever
+    materializing the concatenated stream.
+
+    All-integer arithmetic (token counts, one global prefix sum,
+    div/mod) — the DuckDB oracle matches hash-exactly with no float
+    discipline needed.
+
+    Scale contract — the ``token_budget_mix`` bucketed two-phase prefix
+    sum, global instead of per-source: a single-partition cumsum window
+    over the corpus is the textbook scale-killer, so phase 1 aggregates
+    per-bucket token subtotals keyed by the ORDER-ALIGNED md5-prefix
+    bucket (every row of bucket '00' precedes every row of '01'), a
+    window over that ≤ 16^chars-row table yields bucket offsets, and
+    phase 2 broadcast-joins them back for a within-bucket cumsum —
+    16^chars-way parallelism, two column-pruned scans, no unbounded
+    task."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if not 1 <= bucket_chars <= 8:
+        raise ValueError("bucket_chars must be in [1, 8]")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    n_tok = F.size(
+        F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "
+                )
+            ),
+            " ",
+        )
+    )
+    base = (
+        df.withColumn("_h", h)
+        .withColumn("_b", F.substring(F.col("_h"), 1, bucket_chars))
+        .withColumn("n_tokens", n_tok.cast("long"))
+    )
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("_b")
+        .agg(F.sum("n_tokens").alias("_sub"))
+        # single-partition window is FINE here: the aggregated table has
+        # at most 16^chars rows regardless of corpus size
+        .withColumn("_off", F.coalesce(F.sum("_sub").over(w_off), F.lit(0)))
+        .select("_b", "_off")
+    )
+    w_loc = (
+        Window.partitionBy("_b")
+        .orderBy("_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    L = int(seq_len)
+    return (
+        base.join(F.broadcast(offsets), "_b", "inner")
+        .withColumn("_cum", F.col("_off") + F.sum("n_tokens").over(w_loc))
+        .withColumn("start", F.col("_cum") - F.col("n_tokens"))
+        .select(
+            key_col,
+            "n_tokens",
+            "start",
+            F.expr(f"start div {L}").alias("bin_first"),
+            F.expr(f"(_cum - 1) div {L}").alias("bin_last"),
+            F.pmod(F.col("start"), F.lit(L)).cast("long").alias("bin_offset"),
+        )
+    )

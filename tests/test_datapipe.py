@@ -1832,3 +1832,50 @@ def test_priority_separation_assert_fires():
     _assert_priority_separation([1.0, 2.0, 3.0], "ok")
     with _pytest.raises(AssertionError):
         _assert_priority_separation([1.0, 1.0 + 1e-12], "near-tie")
+
+
+def test_pack_documents_matches_pure_python(spark):
+    import hashlib
+    import re
+
+    from smartlogic_concordance_transformer_spark.datapipe import pack_documents
+
+    rows = [
+        (1, "a b c"),
+        (2, ""),
+        (3, None),
+        (4, " ".join(f"t{i}" for i in range(700))),
+        (5, "one  two\tthree\nfour"),
+        (6, "x" * 50),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(5)
+    got = {r["doc_id"]: tuple(r) for r in pack_documents(df, 256).collect()}
+
+    def n_tok(t):
+        return len(re.sub(r"\s+", " ", t or "").strip().split(" "))
+
+    order = sorted(rows, key=lambda r: (hashlib.md5(f"pack:{r[0]}".encode()).hexdigest(), r[0]))
+    cum = 0
+    for doc_id, text in order:
+        n = n_tok(text)
+        start = cum
+        cum += n
+        assert got[doc_id] == (
+            doc_id, n, start, start // 256, (cum - 1) // 256, start % 256
+        ), doc_id
+    # the packed stream is gapless: starts tile [0, total)
+    assert cum == sum(v[1] for v in got.values())
+
+
+def test_pack_documents_is_repartition_invariant(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import pack_documents
+
+    rows = [(i, f"tok{i} " * (1 + i % 9)) for i in range(150)]
+    a = spark.createDataFrame(rows, ["doc_id", "text"])
+    ra = sorted(map(tuple, pack_documents(a, 64).collect()))
+    rb = sorted(map(tuple, pack_documents(a.repartition(13), 64).collect()))
+    assert ra == rb
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_documents(a, 0)

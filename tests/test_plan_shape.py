@@ -386,3 +386,21 @@ def test_stratified_weighted_sample_two_phase_plan(spark):
         and "_b#" not in ln
     ]
     assert len(source_only) <= 1, plan
+
+
+def test_pack_documents_two_phase_plan(spark):
+    # global packing must never run a single-partition cumsum window
+    # over the corpus: the big-side window exchange is keyed on the
+    # order-aligned md5 bucket; the only SinglePartition exchange
+    # allowed is the phase-1 offsets window (<= 16^chars rows)
+    from smartlogic_concordance_transformer_spark.datapipe import pack_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pack_documents(docs, 2048))
+    bucketed = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "_b#" in ln
+    ]
+    assert bucketed, plan
+    assert "BroadcastHashJoin" in plan
