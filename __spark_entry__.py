@@ -1181,6 +1181,21 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall@10 of the IVF ANN path vs exact brute force — the eval an
+    # ANN deployment runs before trusting the approximate index; both
+    # sides are existing oracled queries, composed by one equi-join.
+    # Exact arithmetic (integer hits / one division); the oracle
+    # recomputes BOTH sides independently via the composed SQL.
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        recall_vs_exact,
+    )
+
+    return recall_vs_exact(
+        q_sim_ivf(spark, sf_dir), q_sim_topk(spark, sf_dir), k=10
+    )
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stateful sessionization semantics applied in batch over events:
     # session = maximal run of a user's events with gaps < 30 min.
@@ -1535,6 +1550,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "sample_weighted_stratified": q_sample_weighted_stratified,
         "sample_pack": q_sample_pack,
+        "sim_recall": q_sim_recall,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1665,6 +1681,7 @@ def retired_oracle_sql() -> dict[str, str]:
         ("dedup_semantic_incremental", _dedup_semantic_incremental_oracle),
         # rotated out of the driver gate in r7 (see retired_queries)
         ("kg_uuid_factset", _factset_uuid_oracle),
+        ("sim_recall", _sim_recall_oracle),
     ):
         sql = builder()
         if sql is not None:
@@ -1902,6 +1919,42 @@ def _oracle_centroid_matrix():
     return np.asarray(
         lloyd_kmeans(X, k=_IVF_K, iters=_IVF_ITERS, seed=_IVF_SEED), dtype="float64"
     )
+
+
+_SIM_TOPK_SQL = """
+          with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5),
+          s as (select q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.embedding) as score
+                from embeddings e cross join q)
+          select query_id, vec_id, rank from (
+            select query_id, vec_id,
+                   cast(row_number() over (partition by query_id order by score desc, vec_id) as int) as rank
+            from s) where rank <= 10
+        """
+
+
+def _sim_recall_oracle() -> str | None:
+    """recall@10 of the IVF path against exact brute force, composed
+    from the two existing oracles (nested-WITH subqueries — both sides
+    recomputed INDEPENDENTLY of the engine). Inherits the IVF oracle's
+    availability (None when the sf0.01 retrain data is absent) and its
+    float-separation precondition; the recall arithmetic itself is
+    exact (integer hit count / one IEEE division)."""
+    ivf = _sim_ivf_oracle()
+    if ivf is None:
+        return None
+    return f"""
+      with exact as (select query_id, vec_id from ({_SIM_TOPK_SQL})),
+      approx as (select query_id, vec_id from ({ivf})),
+      hit as (select e.query_id, count(*) as n_hit
+              from exact e join approx a
+                on e.query_id = a.query_id and e.vec_id = a.vec_id
+              group by e.query_id)
+      select q.query_id, coalesce(h.n_hit, 0) as n_hit,
+             coalesce(h.n_hit, 0) / 10.0 as recall
+      from (select distinct query_id from exact) q
+      left join hit h on q.query_id = h.query_id
+    """
 
 
 @functools.lru_cache(maxsize=1)
@@ -2971,16 +3024,7 @@ def oracle_sql() -> dict[str, str]:
                       then b.bval else f.fval end as view_value_near
           from b join f on b.user_id = f.user_id and b.ts = f.ts
         """,
-        "sim_topk": """
-          with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5),
-          s as (select q.query_id, e.vec_id,
-                       list_cosine_similarity(e.embedding, q.embedding) as score
-                from embeddings e cross join q)
-          select query_id, vec_id, rank from (
-            select query_id, vec_id,
-                   cast(row_number() over (partition by query_id order by score desc, vec_id) as int) as rank
-            from s) where rank <= 10
-        """,
+        "sim_topk": _SIM_TOPK_SQL,
         "agg_pricing": """
           select l_returnflag, l_linestatus,
                  cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,

@@ -569,3 +569,38 @@ def semantic_dedup_incremental_pairs(
         .filter(cos(F.col("_va"), F.col("_vb")) >= threshold)
         .select("a", "b", "cell")
     )
+
+
+def recall_vs_exact(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_key_col: str = "query_id",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate neighbor result against the exact one
+    — the eval every ANN deployment runs before trusting IVF/LSH at
+    scale. Both inputs are (query_key, key[, rank]) frames as returned
+    by ``brute_force_topk`` / ``ivf_search`` / ``lsh_ann_topk``.
+    Returns (query_key, n_hit, recall) with every exact-side query
+    present (zero hits included — a silently absent query would read
+    as 'not evaluated' rather than 'recall 0').
+
+    Scale: both sides are result sets (|queries| × k rows, not corpus-
+    sized); the intersection is one equi-join + map-side-combinable
+    count. Exact arithmetic: integer hit count, one IEEE division."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    hits = (
+        exact.select(query_key_col, key_col)
+        .join(approx.select(query_key_col, key_col), [query_key_col, key_col])
+        .groupBy(query_key_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    qids = exact.select(query_key_col).distinct()
+    n = F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+    return qids.join(hits, query_key_col, "left").select(
+        query_key_col,
+        n.alias("n_hit"),
+        (n.cast("double") / F.lit(float(k))).alias("recall"),
+    )

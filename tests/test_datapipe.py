@@ -1879,3 +1879,26 @@ def test_pack_documents_is_repartition_invariant(spark):
 
     with _pytest.raises(ValueError):
         pack_documents(a, 0)
+
+
+def test_recall_vs_exact_semantics(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        recall_vs_exact,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        ["query_id", "vec_id"],
+    )
+    approx = spark.createDataFrame(
+        # q1: both right; q2: one right one wrong; q3: all wrong
+        [(1, 10), (1, 11), (2, 20), (2, 99), (3, 98), (3, 97)],
+        ["query_id", "vec_id"],
+    )
+    got = {r["query_id"]: (r["n_hit"], r["recall"]) for r in
+           recall_vs_exact(approx, exact, k=2).collect()}
+    assert got == {1: (2, 1.0), 2: (1, 0.5), 3: (0, 0.0)}  # zero-hit kept
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        recall_vs_exact(approx, exact, k=0)
