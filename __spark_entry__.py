@@ -977,6 +977,29 @@ def q_pipeline_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.join(ledger.select("doc_id", "stage", "split"), "doc_id")
 
 
+def q_pipeline_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pipeline_e2e with the model-based quality gate enabled: a trained
+    # (here: literal) spam-vocabulary weight table gates the heuristic
+    # survivors on mean-pooled logit — the CCNet/Llama 'quality
+    # classifier' cascade position (cheap rules first, model second).
+    # Planted 35k+11 docs are vocabulary-spammy but heuristic-clean, so
+    # they reach and fail ONLY the classifier stage; unplanted docs
+    # score exactly 0.0 (invented tokens absent) and pass untouched.
+    from smartlogic_concordance_transformer_spark.datapipe.curation import (
+        pretraining_pipeline,
+    )
+
+    raw, bench = _pipeline_raw(spark, sf_dir, plant_classifier=True)
+    out = pretraining_pipeline(
+        raw,
+        bench,
+        mix_fractions={"src0": 64, "src1": 128},
+        classifier_weights=_CLF_WEIGHTS,
+        classifier_threshold=_CLF_THRESHOLD,
+    )
+    return out.select("doc_id", "kept", "stage", "split")
+
+
 # duplicated-substring plants for the substring_dedup pipeline variant:
 # a fixed cross-doc disclaimer tail (every doc_id % 30 == 7) and a
 # back-to-back repeat of the doc's own first 60 chars (every
@@ -991,9 +1014,27 @@ _SUB_DISC = (
     "either express or implied"
 )
 
+# classifier-gate plant family: doc_id % 35 == 11. Disjoint from every
+# other family by CRT: vs 40k/60k/50k, gcd(35, m) = 5 and 11 mod 5 = 1
+# while 0 mod 5 = 0; vs 30k+7 / 45k+13, 7 mod 5 = 2 and 13 mod 5 = 3.
+# The tokens are invented strings absent from the synthetic corpus, so
+# every unplanted doc's logit is EXACTLY 0.0 and every planted doc's is
+# <= -12/n_tokens (n <= ~120 post-clean => <= -0.1) — both sides clear
+# the -0.01 threshold with >=10x margin.
+_CLF_TOKENS = [
+    "clickbait", "freecrypto", "megadeal", "buynow", "zerocost", "winbig",
+    "instaoffer", "spamcoupon", "hypersale", "dealblast", "promoblitz",
+    "cashgrab",
+]
+_CLF_WEIGHTS = {t: -1000 for t in _CLF_TOKENS}
+_CLF_THRESHOLD = -0.01
+
 
 def _pipeline_raw(
-    spark: SparkSession, sf_dir: str, plant_substrings: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    plant_substrings: bool = False,
+    plant_classifier: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The pipeline_e2e input corpus (raw docs with planted failures +
     benchmark frame) — shared by the contract query and the oracle-
@@ -1001,8 +1042,31 @@ def _pipeline_raw(
 
     ``plant_substrings``: additionally plant duplicated >= 40-char runs
     (see _SUB_DISC note) into the BASE docs, before twins/spam/bench are
-    derived — the pipeline_substring corpus."""
+    derived — the pipeline_substring corpus.
+
+    ``plant_classifier``: plant a unique-per-doc promo line of invented
+    spam-vocabulary tokens (see _CLF_TOKENS note) into every 35k+11 doc
+    — vocabulary-spammy but heuristic-clean (distinct words, normal
+    length), so ONLY the model gate catches it: the pipeline_classifier
+    corpus."""
     d = _spread(spark, _docs(spark, sf_dir))
+    if plant_classifier:
+        t = F.col("text")
+        # doc-id prefix keeps the line unique per doc (a byte-identical
+        # line across >= min_docs docs would be stripped as boilerplate
+        # BEFORE the classifier ever saw it)
+        d = d.withColumn(
+            "text",
+            F.when(
+                F.pmod("doc_id", 35) == 11,
+                F.concat(
+                    t,
+                    F.lit("\ndoc"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" promo: " + " ".join(_CLF_TOKENS)),
+                ),
+            ).otherwise(t),
+        )
     if plant_substrings:
         t = F.col("text")
         d = d.withColumn(
@@ -1551,6 +1615,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_stratified": q_sample_weighted_stratified,
         "sample_pack": q_sample_pack,
         "sim_recall": q_sim_recall,
+        "pipeline_classifier": q_pipeline_classifier,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1565,6 +1630,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def retired_oracle_sql() -> dict[str, str]:
     oracles = {
         "pipeline_substring": _pipeline_oracle(substring=True),
+        "pipeline_classifier": _pipeline_oracle(classifier=True),
         "events_pivot": """
           select user_id % 100 as ubucket,
                  count(*) filter (where event_type = 'click') as click,
@@ -2493,7 +2559,7 @@ def _pii_oracle() -> str:
     return f"select doc_id, {_pii_chain(expr)} as clean from documents"
 
 
-def _pipeline_oracle(substring: bool = False) -> str:
+def _pipeline_oracle(substring: bool = False, classifier: bool = False) -> str:
     """Independent SQL replay of the whole curation cascade. Each stage
     reuses the same fragment shapes its standalone oracle uses; near-dedup
     is all-pairs (oracles don't need to scale) where the engine is
@@ -2506,7 +2572,14 @@ def _pipeline_oracle(substring: bool = False) -> str:
     substring where the engine groups on xxhash64 — agreement certifies
     zero hash collisions, same as the dedup_substrings oracle), shingles
     REBUILT from the excised text for the decontamination tail, and the
-    output = excised bytes joined to each doc's ledger outcome."""
+    output = excised bytes joined to each doc's ledger outcome.
+
+    ``classifier=True`` replays the pipeline_classifier variant: the
+    planted promo-line corpus (see _CLF_TOKENS), a mean-pooled-logit
+    gate CTE over the SAME ``dw.words`` token array the repetition
+    fractions use (one tokenizer, no drift), stage 'classifier' between
+    repetition and exact-dedup — identical operation order to the
+    engine (exact integer weight sum, one IEEE division)."""
     # shingle-set builder over a (doc_id, c) relation
     sets = (
         "select doc_id, list_distinct(list_transform("
@@ -2532,8 +2605,35 @@ def _pipeline_oracle(substring: bool = False) -> str:
                     else text end as text
         from documents),
       """
+    elif classifier:
+        docs0 = f"""docs0 as (
+        select doc_id, source,
+               case when doc_id % 35 = 11
+                    then text || chr(10) || 'doc' || cast(doc_id as varchar) ||
+                         ' promo: {" ".join(_CLF_TOKENS)}'
+                    else text end as text
+        from documents),
+      """
     else:
         docs0 = "docs0 as (select doc_id, source, text from documents),\n      "
+    if classifier:
+        in_list = ", ".join(f"'{t}'" for t in _CLF_TOKENS)
+        clf_ctes = f"""cl as (select doc_id,
+                   cast(list_sum(list_transform(words,
+                        t -> case when t in ({in_list}) then -1000 else 0 end)) as double)
+                     / (len(words) * 1000.0) as logit
+            from dw),
+      dcl as (select b.doc_id, 'classifier' as stage from base b join cl using (doc_id)
+              where quality >= 0.7 and dwf <= 0.7 and top2 <= 0.125
+                and logit <= {_CLF_THRESHOLD!r}),
+      """
+        s1_sql = f"""s1 as (select b.doc_id, b.source, b.c from base b join cl using (doc_id)
+             where quality >= 0.7 and dwf <= 0.7 and top2 <= 0.125
+               and logit > {_CLF_THRESHOLD!r}),"""
+    else:
+        clf_ctes = ""
+        s1_sql = """s1 as (select doc_id, source, c from base
+             where quality >= 0.7 and dwf <= 0.7 and top2 <= 0.125),"""
     return f"""
       with {docs0}raw0 as (
         select doc_id, source, text from docs0
@@ -2578,8 +2678,7 @@ def _pipeline_oracle(substring: bool = False) -> str:
       dq as (select doc_id, 'quality' as stage from base where quality < 0.7),
       dr as (select doc_id, 'repetition' as stage from base
              where quality >= 0.7 and not (dwf <= 0.7 and top2 <= 0.125)),
-      s1 as (select doc_id, source, c from base
-             where quality >= 0.7 and dwf <= 0.7 and top2 <= 0.125),
+      {clf_ctes}{s1_sql}
       s1r as (select *, row_number() over (partition by sha256(c) order by doc_id) as rn from s1),
       de as (select doc_id, 'exact_dup' as stage from s1r where rn > 1),
       s2 as (select doc_id, source, c from s1r where rn = 1),
@@ -2590,13 +2689,14 @@ def _pipeline_oracle(substring: bool = False) -> str:
              group by 1),
       dn as (select doc_id, 'near_dup' as stage from np),
       s3 as (select * from s2 where doc_id not in (select doc_id from np)),
-      {_pipeline_oracle_tail(sets, substring)}
+      {_pipeline_oracle_tail(sets, substring, classifier)}
     """
 
 
-def _pipeline_oracle_tail(sets: str, substring: bool) -> str:
+def _pipeline_oracle_tail(sets: str, substring: bool, classifier: bool = False) -> str:
     """The cascade tail after near-dedup: [substring excision ->]
     decontamination -> mix -> split, plus the variant's final select."""
+    dcl_union = "union all select * from dcl " if classifier else ""
     bsh = """bsh as (select distinct unnest(s) as g from (
                 select list_distinct(list_transform(range(greatest(len(toks) - 2, 1)),
                        i -> array_to_string(toks[i+1:i+3], ' '))) as s
@@ -2620,7 +2720,7 @@ def _pipeline_oracle_tail(sets: str, substring: bool) -> str:
       dsh as (select t.doc_id, len(t.s) as n_sh, unnest(t.s) as g
               from sets2 t join s3 using (doc_id)),
       {mix_tail.format(s4_cols='*', s4_src='s3')},
-      drops as (select * from dq union all select * from dr union all select * from de
+      drops as (select * from dq union all select * from dr {dcl_union}union all select * from de
                 union all select * from dn union all select * from dc union all select * from dm)
       select doc_id, true as kept, 'kept' as stage,
              case when substr(md5('split:' || cast(doc_id as varchar)), 1, 2) < '1a'

@@ -14,7 +14,8 @@ whole cascade stays a lazy plan (no driver-side data movement).
 
 Output is a per-document ledger (doc_id, kept, stage, split): ``stage``
 is the first stage that dropped the doc ('quality', 'repetition',
-'exact_dup', 'near_dup', 'contaminated', 'mix') or 'kept'; ``split`` is
+['classifier',] 'exact_dup', 'near_dup', 'contaminated', 'mix') or
+'kept'; ``split`` is
 'train'/'test' for kept docs, null otherwise.
 
 Scale shape: the cleaned corpus (clean text + per-doc quality/repetition
@@ -72,6 +73,8 @@ def pretraining_pipeline(
     shingle_k: int = 3,
     substring_dedup: bool = False,
     substring_k: int = 50,
+    classifier_weights: dict[str, int] | None = None,
+    classifier_threshold: float = 0.0,
     materialize: Callable[[DataFrame, str], DataFrame] | None = None,
 ) -> DataFrame:
     """Run the full curation cascade; returns the per-doc ledger.
@@ -102,6 +105,15 @@ def pretraining_pipeline(
     is the run's curated-text artifact. The shingle column is REBUILT
     from the excised text so decontamination judges what training will
     actually see, not pre-excision grams.
+
+    ``classifier_weights``: enable the model-based quality gate (the
+    CCNet / Llama 'quality classifier' stage): a trained token -> integer
+    milli-weight vocabulary applied via ``text.classifier_logit`` over
+    the CLEANED text; docs whose mean-pooled logit is <=
+    ``classifier_threshold`` drop with stage 'classifier'. The gate runs
+    AFTER the heuristic quality/repetition gates (cheap rules first,
+    model second — the standard cascade order) and adds no shuffle: the
+    logit is an in-row fold over the already-barriered base.
     """
     mix_fractions = mix_fractions or {}
     barrier = materialize or (lambda df, stage: df.localCheckpoint(eager=False))
@@ -138,7 +150,22 @@ def pretraining_pipeline(
     )
     drops_quality = _drop(base.filter(~q_ok), key_col, "quality")
     drops_rep = _drop(base.filter(q_ok & ~r_ok), key_col, "repetition")
-    s1 = base.filter(q_ok & r_ok)
+
+    # -- model-based quality gate (optional): cheap heuristic rules
+    # above prune first, the classifier judges only their survivors —
+    # in-row fold over the barriered base, no new scan, no shuffle
+    if classifier_weights is not None:
+        from .text import classifier_logit
+
+        c_ok = (
+            classifier_logit(F.col("clean"), classifier_weights)
+            > classifier_threshold
+        )
+        drops_clf = _drop(base.filter(q_ok & r_ok & ~c_ok), key_col, "classifier")
+        s1 = base.filter(q_ok & r_ok & c_ok)
+    else:
+        drops_clf = None
+        s1 = base.filter(q_ok & r_ok)
 
     # -- exact dedup (lowest key survives). s2 is checkpointed with the
     # doc's shingle SET materialized as a column: four downstream
@@ -244,6 +271,9 @@ def pretraining_pipeline(
     )
 
     out = kept
-    for part in (drops_quality, drops_rep, drops_exact, drops_near, drops_con, drops_mix):
+    parts = [drops_quality, drops_rep, drops_exact, drops_near, drops_con, drops_mix]
+    if drops_clf is not None:
+        parts.insert(2, drops_clf)
+    for part in parts:
         out = out.unionByName(part)
     return out

@@ -1081,6 +1081,48 @@ def hashed_token_weight(token: Column, salt: str = "qw") -> Column:
     return md5_long60(token, salt) % 2001 - 1000
 
 
+def _classifier_w_sum(
+    toks: Column, weights: dict[str, int] | None, salt: str
+) -> Column:
+    """Integer milli-weight sum over a token array — the shared kernel
+    of ``quality_classifier`` and ``classifier_logit``."""
+    if weights is None:
+        def _w(t):
+            return hashed_token_weight(t, salt).cast("long")
+    else:
+        for tok, wt in weights.items():
+            if not -CLASSIFIER_SCALE <= int(wt) <= CLASSIFIER_SCALE:
+                raise ValueError(f"weights[{tok!r}] outside milli-unit range")
+        wmap = F.create_map(
+            *[x for t, wt in weights.items() for x in (F.lit(t), F.lit(int(wt)))]
+        )
+
+        def _w(t):
+            return F.coalesce(F.element_at(wmap, t), F.lit(0)).cast("long")
+
+    return F.aggregate(
+        F.transform(toks, _w), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def classifier_logit(
+    text: Column | str,
+    weights: dict[str, int] | None = None,
+    salt: str = "qw",
+) -> Column:
+    """The classifier's logit as a bare Column expression — for
+    embedding the gate inside a larger plan (the curation pipeline's
+    classifier stage) without a separate select. Same arithmetic
+    contract as ``quality_classifier``: exact integer weight sum, one
+    IEEE division, zero shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = ws_tokens(F.coalesce(c, F.lit("")))
+    w_sum = _classifier_w_sum(toks, weights, salt)
+    return w_sum.cast("double") / (
+        F.size(toks).cast("double") * float(CLASSIFIER_SCALE)
+    )
+
+
 def quality_classifier(
     df: DataFrame,
     text_col: str = "text",
@@ -1109,23 +1151,7 @@ def quality_classifier(
     (the zscore discipline), so ``keep`` needs no tolerance."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     toks = ws_tokens(c)
-    if weights is None:
-        def _w(t):
-            return hashed_token_weight(t, salt).cast("long")
-    else:
-        for tok, wt in weights.items():
-            if not -CLASSIFIER_SCALE <= int(wt) <= CLASSIFIER_SCALE:
-                raise ValueError(f"weights[{tok!r}] outside milli-unit range")
-        wmap = F.create_map(
-            *[x for t, wt in weights.items() for x in (F.lit(t), F.lit(int(wt)))]
-        )
-
-        def _w(t):
-            return F.coalesce(F.element_at(wmap, t), F.lit(0)).cast("long")
-
-    w_sum = F.aggregate(
-        F.transform(toks, _w), F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
+    w_sum = _classifier_w_sum(toks, weights, salt)
     n = F.size(toks).cast("long")
     logit = w_sum.cast("double") / (n.cast("double") * float(CLASSIFIER_SCALE))
     return df.select(

