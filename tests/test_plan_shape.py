@@ -404,3 +404,32 @@ def test_pack_documents_two_phase_plan(spark):
     ]
     assert bucketed, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_classifier_gate_adds_no_exchange(spark):
+    # the model gate's design claim: an in-row fold over the already-
+    # barriered base — enabling it must not add a single Exchange (or
+    # Python eval) to the cascade plan, and disabling it must leave the
+    # ledger stage set without 'classifier'
+    from smartlogic_concordance_transformer_spark.datapipe.curation import (
+        pretraining_pipeline,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(80)
+        .select("doc_id", "source", "text")
+    )
+    bench = docs.limit(5).select("text")
+    off = pretraining_pipeline(docs, bench)
+    on = pretraining_pipeline(
+        docs, bench, classifier_weights={"zzq": -1000}, classifier_threshold=-0.5
+    )
+    p_off, p_on = _plan(off), _plan(on)
+    assert p_on.count("Exchange") == p_off.count("Exchange"), (
+        p_on.count("Exchange"),
+        p_off.count("Exchange"),
+    )
+    assert "EvalPython" not in p_on
+    stages_off = {r["stage"] for r in off.select("stage").distinct().collect()}
+    assert "classifier" not in stages_off
