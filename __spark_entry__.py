@@ -977,6 +977,49 @@ def q_pipeline_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.join(ledger.select("doc_id", "stage", "split"), "doc_id")
 
 
+def q_web_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL normalization — the CommonCrawl URL-level dedup key: drop
+    # fragment, lowercase scheme/authority (not path), strip default
+    # ports, empty path -> '/', bytewise-sort query params. Synthetic
+    # URLs exercise every rule (mixed case, default + explicit + absent
+    # ports, empty paths, unsorted params, fragments). Pure per-row
+    # projection; the oracle replays the identical rule set in SQL.
+    from smartlogic_concordance_transformer_spark.datapipe.web import (
+        normalize_url,
+        url_host,
+    )
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.when(F.pmod("doc_id", 2) == 0, F.lit("HTTP")).otherwise(F.lit("HTTPS")),
+        F.lit("://WWW.Site"),
+        F.pmod("doc_id", 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.pmod("doc_id", 4) == 0, F.lit(":80"))
+        .when(F.pmod("doc_id", 4) == 1, F.lit(":443"))
+        .when(F.pmod("doc_id", 4) == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", 5) == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/Dir"), F.pmod("doc_id", 5).cast("string"), F.lit("/Page"))
+        ),
+        F.when(F.pmod("doc_id", 7) == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("?zz="),
+                F.pmod("doc_id", 3).cast("string"),
+                F.lit("&aa="),
+                F.pmod("doc_id", 2).cast("string"),
+            )
+        ),
+        F.when(F.pmod("doc_id", 3) == 0, F.lit("#Sec1")).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        normalize_url(url).alias("url_norm"),
+        url_host(url).alias("host"),
+    )
+
+
 def q_pipeline_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline_e2e with the model-based quality gate enabled: a trained
     # (here: literal) spam-vocabulary weight table gates the heuristic
@@ -1616,6 +1659,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_pack": q_sample_pack,
         "sim_recall": q_sim_recall,
         "pipeline_classifier": q_pipeline_classifier,
+        "web_urls": q_web_urls,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1720,6 +1764,53 @@ def retired_oracle_sql() -> dict[str, str]:
       select doc_id, cast(n_chars as bigint) as weight,
              row_number() over (order by pr, doc_id) as rank
       from p order by pr, doc_id limit 200
+    """
+    # URL normalization: identical rule set replayed in SQL over the
+    # same synthesized raw URLs
+    oracles["web_urls"] = """
+      with u0 as (
+        select doc_id,
+               (case when doc_id % 2 = 0 then 'HTTP' else 'HTTPS' end) ||
+               '://WWW.Site' || cast(doc_id % 7 as varchar) || '.Example.COM' ||
+               (case doc_id % 4 when 0 then ':80' when 1 then ':443'
+                                when 2 then ':8080' else '' end) ||
+               (case when doc_id % 5 = 0 then ''
+                     else '/Dir' || cast(doc_id % 5 as varchar) || '/Page' end) ||
+               (case when doc_id % 7 = 0 then ''
+                     else '?zz=' || cast(doc_id % 3 as varchar) ||
+                          '&aa=' || cast(doc_id % 2 as varchar) end) ||
+               (case when doc_id % 3 = 0 then '#Sec1' else '' end) as url
+        from documents),
+      p as (
+        select doc_id, url,
+               regexp_replace(url, '#.*$', '') as defrag,
+               lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                     '^([^:/?#]+)://([^/?#]*)([^?#]*)', 1)) as scheme,
+               lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                     '^([^:/?#]+)://([^/?#]*)([^?#]*)', 2)) as auth0,
+               regexp_extract(regexp_replace(url, '#.*$', ''),
+                     '^([^:/?#]+)://([^/?#]*)([^?#]*)', 3) as path0,
+               regexp_extract(regexp_replace(url, '#.*$', ''), '\\?([^#]*)', 1) as q
+        from u0),
+      n as (
+        select doc_id, url, defrag, scheme,
+               case when scheme = 'http' and auth0 like '%:80'
+                      then regexp_replace(auth0, ':80$', '')
+                    when scheme = 'https' and auth0 like '%:443'
+                      then regexp_replace(auth0, ':443$', '')
+                    else auth0 end as auth,
+               case when path0 = '' then '/' else path0 end as path,
+               array_to_string(list_sort(list_filter(string_split(q, '&'),
+                 x -> x <> '')), '&') as qs
+        from p)
+      select doc_id, url,
+             case when scheme = '' then defrag
+                  else scheme || '://' || auth || path ||
+                       (case when qs <> '' then '?' || qs else '' end)
+             end as url_norm,
+             regexp_replace(lower(regexp_extract(defrag,
+                 '^([^:/?#]+)://([^/?#]*)([^?#]*)', 2)), ':\\d+$', '') as host
+      from n
     """
     # global packing: identical md5 order + one integer prefix sum
     oracles["sample_pack"] = """

@@ -44,6 +44,7 @@ from .similarity import (
     spherical_assign,
     train_ivf_centroids,
 )
+from .web import normalize_url, url_host
 from .text import (
     apply_bpe_merges,
     ngram_perplexity,
@@ -94,6 +95,8 @@ __all__ = [
     "weighted_sample",
     "stratified_weighted_sample",
     "quality_classifier",
+    "normalize_url",
+    "url_host",
     "fingerprint",
     "scrub_pii",
     "winnowing_fingerprints",

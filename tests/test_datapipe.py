@@ -1902,3 +1902,46 @@ def test_recall_vs_exact_semantics(spark):
 
     with _pytest.raises(ValueError):
         recall_vs_exact(approx, exact, k=0)
+
+
+def test_normalize_url_goldens(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.web import (
+        normalize_url,
+        url_host,
+    )
+
+    cases = [
+        # (raw, normalized, host)
+        ("HTTPS://WWW.X.COM:443/A/b?b=2&a=1#frag", "https://www.x.com/A/b?a=1&b=2", "www.x.com"),
+        ("http://X.com:80", "http://x.com/", "x.com"),
+        ("http://X.com:8080/p", "http://x.com:8080/p", "x.com"),
+        ("https://x.com:80/p", "https://x.com:80/p", "x.com"),  # not https default
+        ("https://x.com/?", "https://x.com/", "x.com"),  # empty query dropped
+        ("https://x.com/p?a=1&&b=2", "https://x.com/p?a=1&b=2", "x.com"),  # empty param
+        ("not a url#frag", "not a url", ""),  # unparsed: defrag only
+        (None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], ["i", "u"]
+    )
+    got = {
+        r["i"]: (r["n"], r["h"])
+        for r in df.select(
+            "i", normalize_url("u").alias("n"), url_host("u").alias("h")
+        ).collect()
+    }
+    for i, (_, want_n, want_h) in enumerate(cases):
+        assert got[i] == (want_n, want_h), (i, got[i])
+
+
+def test_url_ops_are_zero_shuffle(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.web import (
+        normalize_url,
+        url_host,
+    )
+
+    df = spark.range(10).select(
+        F.concat(F.lit("https://h"), F.col("id").cast("string"), F.lit(".com/p?b=1&a=2")).alias("u")
+    ).select(normalize_url("u").alias("n"), url_host("u").alias("h"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
