@@ -280,3 +280,73 @@ def _parquet_footer_rows(path: str, spark: SparkSession | None = None) -> int:
         if spark is None:
             raise
         return spark.read.parquet(path).count()
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    min_files: int = 2,
+    shuffle: bool = False,
+) -> dict:
+    """Small-file compaction — the operational fix for the
+    millions-of-tiny-files failure mode a long-running ingest leaves
+    behind (every micro-batch / resumed bucket writes its own files;
+    scan planning and footer reads eventually dominate). Rewrites the
+    directory into ``ceil(rows / target_rows_per_file)`` files and
+    SWAPS it in only after the rewrite's parquet footers account for
+    exactly the original row count — the directory-level analog of a
+    table format's compaction commit (Iceberg rewrites data files, then
+    commits a snapshot; here the snapshot is a directory rename, and
+    content is invariant so any CheckpointLedger fingerprints over the
+    data stay valid).
+
+    Returns ``{"compacted": bool, "files_before", "files_after",
+    "rows"}``; a no-op (already few enough files, or fewer than
+    ``min_files``) reports itself instead of rewriting.
+
+    Scale notes: ``shuffle=False`` (default) uses ``coalesce`` — a
+    NARROW merge of input splits, no exchange, the right shape when
+    compacting many small files; ``shuffle=True`` round-robin
+    repartitions for exactly even output files at the cost of one full
+    shuffle of the table being compacted. Row-count verification is
+    footer metadata only, no data scan."""
+    import math
+    import shutil
+
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    rows = _parquet_footer_rows(path, spark)
+    if target_rows_per_file <= 0:
+        raise ValueError("target_rows_per_file must be positive")
+    n_out = max(1, math.ceil(rows / target_rows_per_file))
+    if len(files) < min_files or n_out >= len(files):
+        return {
+            "compacted": False,
+            "files_before": len(files),
+            "files_after": len(files),
+            "rows": rows,
+        }
+    tmp, old = path + ".compact_tmp", path + ".compact_old"
+    for d in (tmp, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    df = spark.read.parquet(path)
+    out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(tmp)
+    got = _parquet_footer_rows(tmp, spark)
+    if got != rows:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction row mismatch under {path}: {got} != {rows}; "
+            "original directory left untouched"
+        )
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    return {
+        "compacted": True,
+        "files_before": len(files),
+        "files_after": n_after,
+        "rows": rows,
+    }

@@ -62,3 +62,45 @@ def test_ledger_n_buckets_guard(tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "n_buckets=8" in str(e)
+
+
+def test_compact_parquet_dir_roundtrip(spark, tmp_path):
+    from smartlogic_concordance_transformer_spark.io_tables import (
+        compact_parquet_dir,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(1000).selectExpr("id", "id * 2 as v")
+    df.repartition(16).write.parquet(path)
+    import os as _os
+
+    before = [f for f in _os.listdir(path) if f.endswith(".parquet")]
+    assert len(before) == 16
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    r = compact_parquet_dir(spark, path, target_rows_per_file=500)
+    assert r == {"compacted": True, "files_before": 16, "files_after": 2, "rows": 1000}
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    # idempotent: already at target -> reported no-op, nothing rewritten
+    r2 = compact_parquet_dir(spark, path, target_rows_per_file=500)
+    assert r2["compacted"] is False and r2["files_after"] == 2
+    # stale temp/old dirs from a crashed prior run are cleared, not fatal
+    _os.makedirs(path + ".compact_tmp", exist_ok=True)
+    r3 = compact_parquet_dir(spark, path, target_rows_per_file=100, shuffle=True)
+    assert r3["compacted"] is False or r3["files_after"] <= 10
+
+
+def test_compact_parquet_dir_validation(spark, tmp_path):
+    from smartlogic_concordance_transformer_spark.io_tables import (
+        compact_parquet_dir,
+    )
+
+    path = str(tmp_path / "t2")
+    spark.range(10).coalesce(1).write.parquet(path)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_parquet_dir(spark, path, target_rows_per_file=0)
+    # single file: below min_files -> no-op
+    r = compact_parquet_dir(spark, path)
+    assert r["compacted"] is False and r["rows"] == 10
