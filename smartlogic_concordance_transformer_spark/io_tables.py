@@ -350,3 +350,46 @@ def compact_parquet_dir(
         "files_after": n_after,
         "rows": rows,
     }
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as an EXTERNAL bucket-co-located parquet table: rows
+    are hash-bucketed on ``bucket_col`` into ``n_buckets`` files per
+    task (optionally sorted within buckets), and the layout is recorded
+    in the catalog so Catalyst KNOWS it. Two tables bucketed on the same
+    key with the same bucket count join with ZERO Exchange — the shuffle
+    both sides would pay per join is paid ONCE at write time, which is
+    the economics every repeated 100 TB join wants (fact-to-fact joins,
+    the daily incremental-dedup probe against the signature store, the
+    assigned-corpus probe of incremental SemDeDup). With ``sort_col``
+    the sort-merge join's per-task Sort drops too.
+
+    External location (``path``) keeps the data out of the session
+    warehouse — the table is a catalog ENTRY over explicit files, the
+    same shape ``ParquetTableIO`` uses, so drops never delete data
+    unexpectedly."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    w = (
+        df.write.mode(mode)
+        .option("path", os.path.abspath(path))
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(name)
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Read a table written by ``write_bucketed`` WITH its bucket
+    metadata (a plain ``spark.read.parquet`` of the same files would
+    lose the layout and re-shuffle on the next join)."""
+    return spark.table(name)

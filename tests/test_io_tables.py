@@ -104,3 +104,39 @@ def test_compact_parquet_dir_validation(spark, tmp_path):
     # single file: below min_files -> no-op
     r = compact_parquet_dir(spark, path)
     assert r["compacted"] is False and r["rows"] == 10
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The write-once-shuffle-never claim: two tables bucketed on the
+    join key with equal bucket counts must sort-merge join with ZERO
+    Exchange on either side (broadcast disabled so the plan can't
+    sidestep the question), and sortBy must also eliminate the
+    per-task Sort."""
+    from smartlogic_concordance_transformer_spark.io_tables import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    a = spark.range(2000).selectExpr("id as k", "id * 3 as va")
+    b = spark.range(0, 2000, 2).selectExpr("id as k", "id * 7 as vb")
+    write_bucketed(a, "t_buck_a", str(tmp_path / "a"), "k", 8, sort_col="k")
+    write_bucketed(b, "t_buck_b", str(tmp_path / "b"), "k", 8, sort_col="k")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_bucketed(spark, "t_buck_a").join(
+            read_bucketed(spark, "t_buck_b"), "k"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        got = {(r["k"], r["va"], r["vb"]) for r in j.collect()}
+        assert got == {(i, i * 3, i * 7) for i in range(0, 2000, 2)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("drop table if exists t_buck_a")
+        spark.sql("drop table if exists t_buck_b")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_bucketed(a, "t_buck_bad", str(tmp_path / "c"), "k", 0)
