@@ -9,6 +9,7 @@ semantics (simhash bit-majority, embedding matrix math, binary decode).
 
 from .curation import pretraining_pipeline
 from .dedup import (
+    banded_signatures,
     duplicate_substring_spans,
     exact_dedup,
     excise_duplicate_substrings,
@@ -62,6 +63,7 @@ from .text import (
 
 __all__ = [
     "exact_dedup",
+    "banded_signatures",
     "duplicate_substring_spans",
     "excise_duplicate_substrings",
     "shingles",

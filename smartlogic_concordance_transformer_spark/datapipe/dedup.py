@@ -154,13 +154,29 @@ def _banded(signatures: DataFrame, key_col: str, bands: int, rows_per_band: int)
     )
 
 
+def banded_signatures(
+    signatures: DataFrame,
+    key_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """The (key, band, band_hash) banded form of a signature table —
+    the thing the PERSISTED incremental-dedup store should be: write it
+    once via ``io_tables.write_bucketed(..., ["band", "band_hash"], n)``
+    and every future batch's probe joins it with zero store-side
+    Exchange (see ``minhash_incremental_candidates(base_banded=...)``).
+    """
+    return _banded(signatures, key_col, bands, rows_per_band)
+
+
 def minhash_incremental_candidates(
     new_sigs: DataFrame,
-    base_sigs: DataFrame,
+    base_sigs: DataFrame | None = None,
     key_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
     truncate_lineage: bool = True,
+    base_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs for INCREMENTAL dedup: each NEW document against
     the existing corpus AND the other new documents — the daily-ingest
@@ -173,10 +189,36 @@ def minhash_incremental_candidates(
     new key with ``a < b`` (each new-new pair reported once). Feed the
     result to ``ngram_jaccard_pairs`` over the union corpus for exact
     verification, exactly as with the batch path.
+
+    ``base_banded`` (instead of ``base_sigs``): the store is ALREADY a
+    persisted banded table (key, band, band_hash) — pass the frame from
+    ``io_tables.read_bucketed`` over a table written bucketed on
+    (band, band_hash) and the store side of the probe joins WITHOUT any
+    Exchange, every batch, forever: only the small new batch shuffles.
+    The new-vs-base join runs SEPARATELY from the new-vs-new join in
+    this mode (a union of the probe sides would erase the store's
+    co-partitioning) — same result set by construction.
     """
+    if (base_sigs is None) == (base_banded is None):
+        raise ValueError("exactly one of base_sigs / base_banded required")
     if truncate_lineage:
         new_sigs = new_sigs.localCheckpoint(eager=False)
     nb = _banded(new_sigs, key_col, bands, rows_per_band)
+    a = nb.select(F.col(key_col).alias("a"), "band", "band_hash")
+    if base_banded is not None:
+        vs_base = a.join(
+            base_banded.select(F.col(key_col).alias("b"), "band", "band_hash"),
+            ["band", "band_hash"],
+        ).select("a", "b")
+        vs_new = (
+            a.join(
+                nb.select(F.col(key_col).alias("b"), "band", "band_hash"),
+                ["band", "band_hash"],
+            )
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        return vs_base.unionByName(vs_new).distinct()
     probe = _banded(base_sigs, key_col, bands, rows_per_band).select(
         F.col(key_col).alias("b"), "band", "band_hash", F.lit(False).alias("_bn")
     ).unionByName(
@@ -184,7 +226,6 @@ def minhash_incremental_candidates(
             F.col(key_col).alias("b"), "band", "band_hash", F.lit(True).alias("_bn")
         )
     )
-    a = nb.select(F.col(key_col).alias("a"), "band", "band_hash")
     return (
         a.join(probe, ["band", "band_hash"])
         .filter((~F.col("_bn")) | (F.col("a") < F.col("b")))

@@ -356,7 +356,7 @@ def write_bucketed(
     df: DataFrame,
     name: str,
     path: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     n_buckets: int,
     sort_col: str | None = None,
     mode: str = "overwrite",
@@ -378,10 +378,11 @@ def write_bucketed(
     unexpectedly."""
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     w = (
         df.write.mode(mode)
         .option("path", os.path.abspath(path))
-        .bucketBy(n_buckets, bucket_col)
+        .bucketBy(n_buckets, cols[0], *cols[1:])
     )
     if sort_col is not None:
         w = w.sortBy(sort_col)

@@ -140,3 +140,82 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         write_bucketed(a, "t_buck_bad", str(tmp_path / "c"), "k", 0)
+
+
+def test_bucketed_banded_store_probe(spark, tmp_path):
+    """The daily-ingest economics end-to-end: a banded signature store
+    written bucket-co-located on (band, band_hash) is probed by a new
+    batch with EXACTLY ONE Exchange — the small new side — and the
+    composed base_banded path returns the identical candidate set to
+    the classic base_sigs path."""
+    from pyspark.sql import functions as F
+
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        banded_signatures,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        minhash_incremental_candidates,
+    )
+    from smartlogic_concordance_transformer_spark.io_tables import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter("doc_id % 3 != 0").select("doc_id", "text")
+    # new batch: fresh docs plus exact twins of some base docs
+    new = (
+        docs.filter("doc_id % 3 = 0")
+        .select("doc_id", "text")
+        .unionByName(
+            base.filter("doc_id % 10 = 1").select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    base_sigs = minhash_signatures(base)
+    new_sigs = minhash_signatures(new).localCheckpoint()
+    write_bucketed(
+        banded_signatures(base_sigs),
+        "t_band_store",
+        str(tmp_path / "store"),
+        ["band", "band_hash"],
+        8,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        store = read_bucketed(spark, "t_band_store")
+        classic = {
+            (r["a"], r["b"])
+            for r in minhash_incremental_candidates(
+                new_sigs, base_sigs, truncate_lineage=False
+            ).collect()
+        }
+        bucketed = minhash_incremental_candidates(
+            new_sigs, base_banded=store, truncate_lineage=False
+        )
+        assert {(r["a"], r["b"]) for r in bucketed.collect()} == classic
+        assert classic, "no candidates — twins did not band-collide"
+        # the store-probe join alone: one Exchange (new side), store none
+        nb = banded_signatures(new_sigs).select(
+            F.col("doc_id").alias("a"), "band", "band_hash"
+        )
+        j = nb.join(
+            store.select(F.col("doc_id").alias("b"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("drop table if exists t_band_store")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_incremental_candidates(new_sigs)
+    with _pytest.raises(ValueError):
+        minhash_incremental_candidates(new_sigs, base_sigs, base_banded=store)
