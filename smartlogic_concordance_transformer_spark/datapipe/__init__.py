@@ -19,6 +19,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     shingles,
     simhash,
+    simhash_banded,
     simhash_near_dups,
 )
 from .hygiene import boilerplate_lines, flag_contaminated, strip_boilerplate
@@ -64,6 +65,7 @@ from .text import (
 __all__ = [
     "exact_dedup",
     "banded_signatures",
+    "simhash_banded",
     "duplicate_substring_spans",
     "excise_duplicate_substrings",
     "shingles",

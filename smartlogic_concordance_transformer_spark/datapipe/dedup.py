@@ -447,11 +447,21 @@ def _simhash_banded(fps: DataFrame, key_col: str) -> DataFrame:
     return fps.select(key_col, "simhash", F.posexplode(chunks).alias("band", "chunk"))
 
 
+def simhash_banded(fps: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """The (key, simhash, band, chunk) banded form of a fingerprint
+    table — the persisted SimHash store shape: write it once via
+    ``io_tables.write_bucketed(..., ["band", "chunk"], n)`` and every
+    batch's probe joins it with zero store-side Exchange (see
+    ``simhash_incremental_candidates(base_banded=...)``)."""
+    return _simhash_banded(fps, key_col)
+
+
 def simhash_incremental_candidates(
     new_fps: DataFrame,
-    base_fps: DataFrame,
+    base_fps: DataFrame | None = None,
     key_col: str = "doc_id",
     truncate_lineage: bool = True,
+    base_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates for INCREMENTAL SimHash dedup — the
     daily-ingest shape, mirroring ``minhash_incremental_candidates``:
@@ -464,10 +474,48 @@ def simhash_incremental_candidates(
     Returns (a, b, hamming) with hamming <= 3 (exact popcount over the
     banding's pigeonhole candidates): ``a`` is a new key; ``b`` is an
     existing key, or a new key with ``a < b`` (each new-new pair
-    reported once)."""
+    reported once).
+
+    ``base_banded`` (instead of ``base_fps``): the store is ALREADY the
+    persisted banded table from ``simhash_banded`` — when it is bucket-
+    co-located on (band, chunk) the store side of the probe joins with
+    zero Exchange (new-vs-base and new-vs-new join separately; a probe
+    union would erase the co-partitioning). Identical result set."""
+    if (base_fps is None) == (base_banded is None):
+        raise ValueError("exactly one of base_fps / base_banded required")
     if truncate_lineage:
         new_fps = new_fps.localCheckpoint(eager=False)
     nb = _simhash_banded(new_fps, key_col)
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    if base_banded is not None:
+        a = nb.select(
+            F.col(key_col).alias("a"), F.col("simhash").alias("fa"), "band", "chunk"
+        )
+        vs_base = a.join(
+            base_banded.select(
+                F.col(key_col).alias("b"), F.col("simhash").alias("fb"),
+                "band", "chunk",
+            ),
+            ["band", "chunk"],
+        ).select("a", "b", "fa", "fb")
+        vs_new = (
+            a.join(
+                nb.select(
+                    F.col(key_col).alias("b"), F.col("simhash").alias("fb"),
+                    "band", "chunk",
+                ),
+                ["band", "chunk"],
+            )
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "fa", "fb")
+        )
+        return (
+            vs_base.unionByName(vs_new)
+            .distinct()
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= 3)
+            .select("a", "b", "hamming")
+        )
     probe = _simhash_banded(base_fps, key_col).select(
         F.col(key_col).alias("b"), F.col("simhash").alias("fb"),
         "band", "chunk", F.lit(False).alias("_bn"),

@@ -515,6 +515,7 @@ def semantic_dedup_incremental_pairs(
     key_col: str = "vec_id",
     truncate_lineage: bool = True,
     new_assigned: bool = False,
+    split_probe: bool = False,
 ) -> DataFrame:
     """Semantic-duplicate candidates for INCREMENTAL ingest — the
     daily-batch shape, mirroring ``minhash_incremental_candidates`` /
@@ -535,7 +536,13 @@ def semantic_dedup_incremental_pairs(
     ``new_assigned=True``: ``new_corpus`` is ALREADY an assigned table
     ``(key_col, cell, vec_col)`` — the streaming-ingest path, where the
     sink signs each batch exactly once and persists the assigned rows;
-    ``centroids`` is then unused (assignment happened at signing)."""
+    ``centroids`` is then unused (assignment happened at signing).
+
+    ``split_probe=True``: join new-vs-base and new-vs-new SEPARATELY
+    instead of unioning the probe sides — when ``base_assigned`` is a
+    bucket-co-located table on ``cell`` (``io_tables.write_bucketed``),
+    the union would erase its co-partitioning; split, the store side
+    joins with zero Exchange every batch. Identical result set."""
     if new_assigned:
         na = new_corpus.select(
             F.col(key_col).alias("_k"),
@@ -550,6 +557,25 @@ def semantic_dedup_incremental_pairs(
         )
     if truncate_lineage:
         na = na.localCheckpoint(eager=False)
+    if split_probe:
+        cos = cosine_udf()
+        a = na.select(F.col("_k").alias("a"), "cell", F.col("_v").alias("_va"))
+        vs_base = a.join(
+            base_assigned.select(
+                F.col(key_col).alias("b"), "cell",
+                F.col(vec_col).cast("array<double>").alias("_vb"),
+            ),
+            "cell",
+        )
+        vs_new = a.join(
+            na.select(F.col("_k").alias("b"), "cell", F.col("_v").alias("_vb")),
+            "cell",
+        ).filter(F.col("a") < F.col("b"))
+        return (
+            vs_base.unionByName(vs_new)
+            .filter(cos(F.col("_va"), F.col("_vb")) >= threshold)
+            .select("a", "b", "cell")
+        )
     probe = base_assigned.select(
         F.col(key_col).alias("b"),
         F.col("cell"),

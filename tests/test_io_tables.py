@@ -219,3 +219,110 @@ def test_bucketed_banded_store_probe(spark, tmp_path):
         minhash_incremental_candidates(new_sigs)
     with _pytest.raises(ValueError):
         minhash_incremental_candidates(new_sigs, base_sigs, base_banded=store)
+
+
+def test_bucketed_store_probe_simhash_and_semantic(spark, tmp_path):
+    """The co-location pattern generalizes across kernels: SimHash and
+    SemDeDup incremental probes over bucket-co-located stores return
+    the classic result sets, and each store-probe join runs with
+    exactly ONE Exchange (the new side)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        simhash,
+        simhash_banded,
+    )
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        simhash_incremental_candidates,
+    )
+    from smartlogic_concordance_transformer_spark.datapipe.similarity import (
+        semantic_dedup_incremental_pairs,
+        spherical_assign,
+    )
+    from smartlogic_concordance_transformer_spark.io_tables import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter("doc_id % 3 != 0").select("doc_id", "text")
+    new = (
+        docs.filter("doc_id % 3 = 0")
+        .select("doc_id", "text")
+        .unionByName(
+            base.filter("doc_id % 10 = 1").select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    base_fps = simhash(base)
+    new_fps = simhash(new).localCheckpoint()
+    write_bucketed(
+        simhash_banded(base_fps), "t_sh_store", str(tmp_path / "sh"),
+        ["band", "chunk"], 8,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        store = read_bucketed(spark, "t_sh_store")
+        classic = {
+            tuple(r)
+            for r in simhash_incremental_candidates(
+                new_fps, base_fps, truncate_lineage=False
+            ).collect()
+        }
+        got = {
+            tuple(r)
+            for r in simhash_incremental_candidates(
+                new_fps, base_banded=store, truncate_lineage=False
+            ).collect()
+        }
+        assert got == classic and classic
+        nb = simhash_banded(new_fps).select(
+            F.col("doc_id").alias("a"), "band", "chunk"
+        )
+        j = nb.join(
+            store.select(F.col("doc_id").alias("b"), "band", "chunk"),
+            ["band", "chunk"],
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+        # --- semantic kernel: store = assigned (key, cell, vec), bucketed on cell
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = emb.orderBy("vec_id").limit(64).collect()
+        C = [list(rows[i]["embedding"]) for i in range(0, 64, 8)]
+        all_assigned = spherical_assign(emb.limit(200), C).select(
+            "vec_id", F.col("_cell").alias("cell"), "embedding"
+        )
+        base_a = all_assigned.filter("vec_id % 3 != 0")
+        new_a = all_assigned.filter("vec_id % 3 = 0").unionByName(
+            base_a.filter("vec_id % 10 = 1").select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"), "cell", "embedding"
+            )
+        ).localCheckpoint()
+        write_bucketed(base_a, "t_sem_store", str(tmp_path / "sem"), "cell", 8)
+        sem_store = read_bucketed(spark, "t_sem_store")
+        kw = dict(centroids=C, threshold=0.99, key_col="vec_id",
+                  truncate_lineage=False, new_assigned=True)
+        classic_s = {
+            tuple(r)
+            for r in semantic_dedup_incremental_pairs(new_a, base_a, **kw).collect()
+        }
+        got_s = {
+            tuple(r)
+            for r in semantic_dedup_incremental_pairs(
+                new_a, sem_store, split_probe=True, **kw
+            ).collect()
+        }
+        assert got_s == classic_s and classic_s  # twins hit cos=1.0
+        js = new_a.select(F.col("vec_id").alias("a"), "cell").join(
+            sem_store.select(F.col("vec_id").alias("b"), "cell"), "cell"
+        )
+        plan_s = js._jdf.queryExecution().executedPlan().toString()
+        assert plan_s.count("Exchange hashpartitioning") == 1, plan_s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("drop table if exists t_sh_store")
+        spark.sql("drop table if exists t_sem_store")
