@@ -199,6 +199,32 @@ def q_kg_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_kg_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Daily-ingest entity linking: persisted labels (the kg_cc star forest
+    # over the doc->group graph) folded with a batch of new concordance
+    # edges — a bridge chain merging groups 0..10 plus one brand-new node
+    # joining group 20. The oracle recomputes the FULL updated label table
+    # from scratch via the known merged-group structure; equality proves
+    # incremental == full recompute including untouched pass-through rows.
+    from smartlogic_concordance_transformer_spark.cc import incremental_components
+
+    d = _docs(spark, sf_dir)
+    base = d.selectExpr(
+        "concat('d', lpad(cast(doc_id as string), 8, '0')) as subj",
+        "concat('g', lpad(cast(pmod(doc_id, 50) as string), 4, '0')) as obj",
+    )
+    labels = connected_components(base)
+    bridges = d.filter("doc_id < 10").selectExpr(
+        "concat('g', lpad(cast(doc_id as string), 4, '0')) as subj",
+        "concat('g', lpad(cast(doc_id + 1 as string), 4, '0')) as obj",
+    )
+    newnode = d.filter("doc_id = 20").selectExpr(
+        "concat('x', lpad(cast(doc_id as string), 4, '0')) as subj",
+        "concat('g', lpad(cast(pmod(doc_id, 50) as string), 4, '0')) as obj",
+    )
+    return incremental_components(labels, bridges.unionByName(newnode))
+
+
 def _graph(spark: SparkSession, sf_dir: str):
     """Deterministic multigraph over <=100 nodes derived from documents
     (duplicate edges kept: they weight pageRank and degrees)."""
@@ -1660,6 +1686,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_recall": q_sim_recall,
         "pipeline_classifier": q_pipeline_classifier,
         "web_urls": q_web_urls,
+        "kg_cc_incremental": q_kg_cc_incremental,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1675,6 +1702,25 @@ def retired_oracle_sql() -> dict[str, str]:
     oracles = {
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
+        # full-recompute oracle for the incremental fold: groups 0..10 are
+        # merged by the bridge chain (root group 0), every other group
+        # keeps its own root; component label = min doc node over the
+        # merged class; x0020 lands in group 20's class. Untouched rows
+        # must pass through byte-identical.
+        "kg_cc_incremental": """
+          with r as (select doc_id, doc_id % 50 as grp,
+                            case when doc_id % 50 <= 10 then 0 else doc_id % 50 end as rg
+                     from documents),
+          m as (select rg, 'd' || lpad(cast(min(doc_id) as varchar), 8, '0') as component
+                from r group by rg)
+          select 'd' || lpad(cast(doc_id as varchar), 8, '0') as node, component
+          from r join m using (rg)
+          union all
+          select distinct 'g' || lpad(cast(grp as varchar), 4, '0') as node, component
+          from r join m using (rg)
+          union all
+          select 'x0020' as node, component from m where rg = 20
+        """,
         "events_pivot": """
           select user_id % 100 as ubucket,
                  count(*) filter (where event_type = 'click') as click,
