@@ -199,6 +199,28 @@ def q_kg_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Entity-label fuzzy linking: every customer-name pair within edit
+    # distance 1, via SymSpell deletion-neighborhood blocking + exact
+    # levenshtein verify. Customer names differ in single digit positions
+    # (substitutions); planted single-deletion variants (every 97th key)
+    # exercise the insert/delete cases. The oracle is the quadratic
+    # all-pairs levenshtein over the same term set — equality proves the
+    # blocking misses nothing.
+    from smartlogic_concordance_transformer_spark.datapipe.fuzzy import (
+        fuzzy_match_pairs,
+    )
+
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    base = c.select(F.col("c_name").alias("term"))
+    planted = c.filter("c_custkey % 97 = 0").select(
+        F.concat(
+            F.substring("c_name", 1, 9), F.expr("substring(c_name, 11)")
+        ).alias("term")
+    )
+    return fuzzy_match_pairs(base.unionByName(planted))
+
+
 def q_kg_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Daily-ingest entity linking: persisted labels (the kg_cc star forest
     # over the doc->group graph) folded with a batch of new concordance
@@ -1687,6 +1709,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_classifier": q_pipeline_classifier,
         "web_urls": q_web_urls,
         "kg_cc_incremental": q_kg_cc_incremental,
+        "fuzzy_match": q_fuzzy_match,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1702,6 +1725,23 @@ def retired_oracle_sql() -> dict[str, str]:
     oracles = {
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
+        # quadratic all-pairs levenshtein over the same (names + planted
+        # single-deletion variants) term set — the blocking's ground truth;
+        # the length prefilter is sound (|len(a)-len(b)| <= lev) and only
+        # speeds the oracle up
+        "fuzzy_match": """
+          with t as (
+            select c_name as term from customer
+            union
+            select substr(c_name, 1, 9) || substr(c_name, 11) from customer
+            where c_custkey % 97 = 0
+          )
+          select a.term as a, b.term as b, levenshtein(a.term, b.term) as dist
+          from t a join t b
+            on a.term < b.term
+           and abs(length(a.term) - length(b.term)) <= 1
+          where levenshtein(a.term, b.term) <= 1
+        """,
         # full-recompute oracle for the incremental fold: groups 0..10 are
         # merged by the bridge chain (root group 0), every other group
         # keeps its own root; component label = min doc node over the

@@ -22,6 +22,7 @@ from .dedup import (
     simhash_banded,
     simhash_near_dups,
 )
+from .fuzzy import deletion_neighborhood, fuzzy_match_pairs
 from .hygiene import boilerplate_lines, flag_contaminated, strip_boilerplate
 from .sampling import (
     md5_long60,
@@ -63,6 +64,8 @@ from .text import (
 )
 
 __all__ = [
+    "deletion_neighborhood",
+    "fuzzy_match_pairs",
     "exact_dedup",
     "banded_signatures",
     "simhash_banded",

@@ -1945,3 +1945,64 @@ def test_url_ops_are_zero_shuffle(spark):
     ).select(normalize_url("u").alias("n"), url_host("u").alias("h"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# --- fuzzy matching (SymSpell deletion-neighborhood blocking) ---
+
+
+def _py_lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_deletion_neighborhood_golden(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import deletion_neighborhood
+
+    df = spark.createDataFrame([("cat",), ("aa",)], "term string")
+    rows = {r.term: sorted(r.n) for r in df.select("term", deletion_neighborhood("term").alias("n")).collect()}
+    assert rows["cat"] == sorted(["cat", "at", "ct", "ca"])
+    # repeated chars collapse — the neighborhood is a set
+    assert rows["aa"] == ["a", "aa"]
+
+
+def test_fuzzy_match_pairs_golden(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import fuzzy_match_pairs
+
+    terms = ["cat", "cot", "cart", "dog", "", "cat"]  # dup + empty excluded
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {(r.a, r.b, r.dist) for r in fuzzy_match_pairs(df).collect()}
+    # substitution (cat,cot), insertion (cat,cart); NOT (cart,cot) dist 2,
+    # NOT dog, never the empty term
+    assert got == {("cat", "cot", 1), ("cart", "cat", 1)}
+
+
+def test_fuzzy_match_pairs_equals_all_pairs_python(spark):
+    # random vocabulary over a small alphabet so every edit case
+    # (insert/delete/substitute, repeated chars) occurs; blocking+verify
+    # must equal the quadratic oracle exactly
+    import random as _random
+
+    from smartlogic_concordance_transformer_spark.datapipe import fuzzy_match_pairs
+
+    rng = _random.Random(7)
+    vocab = sorted({
+        "".join(rng.choice("abc") for _ in range(rng.randrange(1, 6)))
+        for _ in range(120)
+    })
+    expected = {
+        (a, b, 1)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1:]
+        if _py_lev(a, b) <= 1
+    }
+    df = spark.createDataFrame([(t,) for t in vocab], "term string")
+    got = {(r.a, r.b, r.dist) for r in fuzzy_match_pairs(df).collect()}
+    assert got == expected
+    assert expected, "oracle degenerate: no qualifying pairs"

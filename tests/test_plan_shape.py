@@ -433,3 +433,14 @@ def test_pipeline_classifier_gate_adds_no_exchange(spark):
     assert "EvalPython" not in p_on
     stages_off = {r["stage"] for r in off.select("stage").distinct().collect()}
     assert "classifier" not in stages_off
+
+
+def test_fuzzy_match_has_no_cartesian_product(spark):
+    # deletion-neighborhood blocking joins on the 8-byte variant hash;
+    # all-pairs must never appear even for a pathological vocabulary
+    from smartlogic_concordance_transformer_spark.datapipe import fuzzy_match_pairs
+
+    df = spark.range(500).selectExpr("concat('term', cast(id as string)) as term")
+    plan = _plan(fuzzy_match_pairs(df))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
