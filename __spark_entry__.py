@@ -199,6 +199,33 @@ def q_kg_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Paragraph-grain dedup over a synthesized multi-paragraph corpus:
+    # each doc = its own leading text slice, one of 7 shared boilerplate
+    # footers (duplicated ~corpus/7 times — the RefinedWeb target), and a
+    # trailing slice (empty for short docs, exercising the min_chars
+    # passthrough). The oracle replays the identical keep-first rule in
+    # SQL over the raw paragraph strings — agreement also certifies the
+    # engine's sha2 winner election collides nowhere.
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        paragraph_dedup,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 80),
+            F.concat(
+                F.lit("boilerplate footer variant "),
+                F.pmod("doc_id", 7).cast("string"),
+            ),
+            F.substring("text", 81, 80),
+        ).alias("text"),
+    )
+    return paragraph_dedup(d).select("doc_id", "clean", "n_dropped")
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Entity-label fuzzy linking: every customer-name pair within edit
     # distance 1, via SymSpell deletion-neighborhood blocking + exact
@@ -1710,6 +1737,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_urls": q_web_urls,
         "kg_cc_incremental": q_kg_cc_incremental,
         "fuzzy_match": q_fuzzy_match,
+        "dedup_paragraphs": q_dedup_paragraphs,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1725,6 +1753,38 @@ def retired_oracle_sql() -> dict[str, str]:
     oracles = {
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
+        # raw-paragraph-string replay of the keep-first rule (winner =
+        # min (doc_id, idx) per distinct paragraph; sub-min_chars rows
+        # pass through; docs rebuilt in index order, '' when all lost) —
+        # string-keyed, so agreement also certifies the engine's sha2
+        # winner election is collision-free on this corpus
+        "dedup_paragraphs": """
+          with d as (
+            select doc_id,
+                   substr(text, 1, 80) || chr(10) ||
+                   'boilerplate footer variant ' || cast(doc_id % 7 as varchar)
+                   || chr(10) || substr(text, 81, 80) as t2
+            from documents),
+          ps as (select doc_id, string_split(t2, chr(10)) as l from d),
+          px as (select doc_id,
+                        unnest(list_transform(range(len(l)),
+                                              i -> {'idx': i, 'para': l[i+1]})) as u
+                 from ps),
+          p2 as (select doc_id, u.idx as idx, u.para as para from px),
+          el as (select *, row_number() over (partition by para
+                                              order by doc_id, idx) as rn
+                 from p2 where length(para) >= 1),
+          keep as (select doc_id, idx, para from el where rn = 1
+                   union all
+                   select doc_id, idx, para from p2 where length(para) < 1),
+          agg as (select doc_id, string_agg(para, chr(10) order by idx) as clean,
+                         count(*) as kept
+                  from keep group by doc_id),
+          tot as (select doc_id, count(*) as total from p2 group by doc_id)
+          select d.doc_id, coalesce(agg.clean, '') as clean,
+                 cast(tot.total - coalesce(agg.kept, 0) as int) as n_dropped
+          from d join tot using (doc_id) left join agg using (doc_id)
+        """,
         # quadratic all-pairs levenshtein over the same (names + planted
         # single-deletion variants) term set — the blocking's ground truth;
         # the length prefilter is sound (|len(a)-len(b)| <= lev) and only

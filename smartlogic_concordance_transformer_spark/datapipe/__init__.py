@@ -17,6 +17,7 @@ from .dedup import (
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     shingles,
     simhash,
     simhash_banded,
@@ -66,6 +67,7 @@ from .text import (
 __all__ = [
     "deletion_neighborhood",
     "fuzzy_match_pairs",
+    "paragraph_dedup",
     "exact_dedup",
     "banded_signatures",
     "simhash_banded",

@@ -36,6 +36,94 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+    clean_col: str = "clean",
+) -> DataFrame:
+    """Paragraph-grain exact dedup (the RefinedWeb / Falcon corpus rule):
+    split every document on ``sep``, keep each distinct paragraph's
+    corpus-wide FIRST occurrence — ordered by ``(key, paragraph index)``,
+    the same lowest-key-wins rule as ``exact_dedup`` — and rebuild each
+    document from its surviving paragraphs in original order. Paragraphs
+    shorter than ``min_chars`` (e.g. blank separator lines) are structure,
+    not content: they pass through undeduplicated.
+
+    Adds ``clean_col`` (rebuilt text; ``''`` when every paragraph lost,
+    null when the input text is null) and ``n_dropped`` (paragraphs
+    excised); all other columns pass through.
+
+    Scale shape: the winner election groups by ``sha2(paragraph)`` so the
+    aggregation shuffle carries 32-byte hashes plus ``(key, idx)``, never
+    the text (the ``exact_dedup`` discipline). The paragraph stream itself
+    crosses the wire twice — once keyed by hash for the survivor filter,
+    once keyed by document for the rebuild — which is the floor for a
+    rebuild-in-place operator; the rebuild's ``collect_list`` is bounded
+    by a single document's paragraph count, never corpus-sized. ``sep``
+    is a literal separator (regex-escaped for the split).
+    """
+    import re as _re
+
+    key = F.col(key_col)
+    ex = df.select(
+        key,
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "_idx", "_para"
+        ),
+    )
+    hashed = ex.withColumn(
+        "_ph", F.when(F.length("_para") >= min_chars, F.sha2("_para", 256))
+    )
+    winners = (
+        hashed.filter(F.col("_ph").isNotNull())
+        .groupBy("_ph")
+        .agg(
+            F.min(F.struct(key.alias("k"), F.col("_idx").alias("i"))).alias("_w")
+        )
+    )
+    surv = hashed.join(winners, "_ph", "left").filter(
+        F.col("_ph").isNull()
+        | ((F.col("_w.k") == key) & (F.col("_w.i") == F.col("_idx")))
+    )
+    per_doc = surv.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_idx").alias("i"), F.col("_para").alias("p")
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            sep,
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    totals = ex.groupBy(key_col).agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        df.join(per_doc, key_col, "left")
+        .join(totals, key_col, "left")
+        .withColumn(
+            clean_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+                F.coalesce("_clean", F.lit(""))
+            ),
+        )
+        .withColumn(
+            "n_dropped",
+            (F.coalesce("_total", F.lit(0)) - F.coalesce("_kept", F.lit(0))).cast(
+                "int"
+            ),
+        )
+        .drop("_clean", "_kept", "_total")
+    )
+
+
 def shingles(
     text: Column | str, k: int = 5, word_grams: bool = True, distinct: bool = True
 ) -> Column:

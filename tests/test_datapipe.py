@@ -2006,3 +2006,48 @@ def test_fuzzy_match_pairs_equals_all_pairs_python(spark):
     got = {(r.a, r.b, r.dist) for r in fuzzy_match_pairs(df).collect()}
     assert got == expected
     assert expected, "oracle degenerate: no qualifying pairs"
+
+
+# --- paragraph-grain dedup (RefinedWeb rule) ---
+
+
+def test_paragraph_dedup_semantics(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import paragraph_dedup
+
+    rows = [
+        (1, "alpha\nshared footer\nbeta"),
+        (2, "gamma\nshared footer\ngamma"),  # cross-doc dup + within-doc dup
+        (3, "shared footer"),                # every paragraph lost -> ''
+        (4, "delta\n\nepsilon"),             # blank line is structure, passes
+        (5, None),                           # null text stays null
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: (r.clean, r.n_dropped) for r in paragraph_dedup(df).collect()}
+    assert out == {
+        1: ("alpha\nshared footer\nbeta", 0),
+        2: ("gamma", 2),
+        3: ("", 1),
+        4: ("delta\n\nepsilon", 0),
+        5: (None, 0),
+    }
+
+
+def test_paragraph_dedup_keep_first_is_key_then_index(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import paragraph_dedup
+
+    # the duplicate appears EARLIER (idx 0) in the higher-keyed doc; the
+    # lower key still wins (exact_dedup's lowest-key-wins discipline)
+    rows = [(7, "x\ndup"), (2, "a\nb\ndup")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r.clean for r in paragraph_dedup(df).collect()}
+    assert out == {2: "a\nb\ndup", 7: "x"}
+
+
+def test_paragraph_dedup_min_chars_passthrough(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import paragraph_dedup
+
+    # short paragraphs below min_chars never dedup, even when repeated
+    rows = [(1, "ok\nlong paragraph one"), (2, "ok\nlong paragraph two")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r.clean for r in paragraph_dedup(df, min_chars=3).collect()}
+    assert out == {1: "ok\nlong paragraph one", 2: "ok\nlong paragraph two"}
