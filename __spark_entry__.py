@@ -199,6 +199,30 @@ def q_kg_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Points-in-interval lookup (the geo-IP shape): overlapping intervals
+    # derived from part (width 2..100 over a 40-spaced line, so points hit
+    # 0..n intervals), points from orders spread over the interval space
+    # by a prime multiplier. chunk=64 ≈ the typical width. The oracle is
+    # the declarative BETWEEN join — equality proves the chunking rewrite
+    # replicates and filters exactly.
+    from smartlogic_concordance_transformer_spark.datapipe.asof import interval_join
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    iv = part.select(
+        "p_partkey",
+        (F.col("p_partkey") * 40).alias("lo"),
+        (F.col("p_partkey") * 40 + F.col("p_size").cast("long") * 2).alias("hi"),
+    )
+    space = part.agg((F.max("p_partkey") * 40 + 200).alias("_space"))
+    pts = orders.crossJoin(F.broadcast(space)).select(
+        "o_orderkey",
+        F.pmod(F.col("o_orderkey") * 7919, F.col("_space")).alias("pt"),
+    )
+    return interval_join(pts, iv, "pt", "lo", "hi", chunk=64)
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Paragraph-grain dedup over a synthesized multi-paragraph corpus:
     # each doc = its own leading text slice, one of 7 shared boilerplate
@@ -1738,6 +1762,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cc_incremental": q_kg_cc_incremental,
         "fuzzy_match": q_fuzzy_match,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "range_join": q_range_join,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1753,6 +1778,18 @@ def retired_oracle_sql() -> dict[str, str]:
     oracles = {
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
+        # the declarative range join the chunking rewrite must equal
+        "range_join": """
+          with iv as (select p_partkey, p_partkey * 40 as lo,
+                             p_partkey * 40 + cast(p_size as bigint) * 2 as hi
+                      from part),
+          pts as (select o_orderkey,
+                         (o_orderkey * 7919) %
+                         (select max(p_partkey) * 40 + 200 from part) as pt
+                  from orders)
+          select o_orderkey, pt, p_partkey, lo, hi
+          from pts join iv on pt between lo and hi
+        """,
         # raw-paragraph-string replay of the keep-first rule (winner =
         # min (doc_id, idx) per distinct paragraph; sub-min_chars rows
         # pass through; docs rebuilt in index order, '' when all lost) —

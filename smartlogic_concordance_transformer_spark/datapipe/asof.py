@@ -237,3 +237,70 @@ def asof_join(
             *[m[c].alias(f"{prefix}{c}") for c in value_cols],
         )
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    chunk: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Points-in-interval join (geo-IP lookup, time-range enrichment,
+    genomic overlap): every (point row, interval row) pair with
+    ``lo <= point <= hi``, WITHOUT the cartesian product a naive
+    ``ON p BETWEEN lo AND hi`` plans (Spark executes pure range
+    predicates as BroadcastNestedLoop/Cartesian — O(|P|·|I|)).
+
+    The classic chunking rewrite: the number line is cut into fixed
+    ``chunk``-wide cells; each interval replicates to every cell it
+    touches (``sequence(floor(lo/chunk), floor(hi/chunk))``), each point
+    lands in exactly one cell, and the join becomes an equi-join on the
+    cell id plus the exact range filter. A point matches an interval in
+    exactly one cell — its own — so no post-join dedup is needed.
+
+    Scale contract: the shuffle is an equi-join keyed by cell — partial,
+    pruned, AQE-skew-splittable like any hash join. Interval replication
+    is ``(hi - lo) / chunk + 1`` rows per interval: pick ``chunk`` near
+    the typical interval width so replication stays O(1); a degenerate
+    chunk (far below the widest interval) costs replication, never
+    correctness. ``how='left'`` keeps unmatched points with null interval
+    columns (one extra slim anti-join back onto the matched key set — the
+    replicated cell stream stays inner).
+
+    Columns: all point columns + all interval columns (names must not
+    collide). Null points / null-bounded or inverted intervals drop
+    (inner) — standard range-predicate semantics.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if chunk <= 0:
+        raise ValueError("chunk must be a positive integer")
+    p = F.col(point_col)
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    cells = intervals.filter(lo.isNotNull() & hi.isNotNull() & (lo <= hi)).withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(F.floor(lo / F.lit(chunk)), F.floor(hi / F.lit(chunk)))
+        ),
+    )
+    pts = points.filter(p.isNotNull()).withColumn(
+        "_cell", F.floor(p / F.lit(chunk))
+    )
+    matched = (
+        pts.join(cells, "_cell")
+        .filter((lo <= p) & (p <= hi))
+        .drop("_cell")
+    )
+    if how == "inner":
+        return matched
+    # left: pass unmatched points through with nulls — the anti probe is
+    # keyed by the point row's own columns, not the replicated stream
+    missing = points.join(
+        matched.select(*points.columns), points.columns, "anti"
+    )
+    for c in intervals.columns:
+        missing = missing.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+    return matched.unionByName(missing)

@@ -2051,3 +2051,68 @@ def test_paragraph_dedup_min_chars_passthrough(spark):
     df = spark.createDataFrame(rows, "doc_id int, text string")
     out = {r.doc_id: r.clean for r in paragraph_dedup(df, min_chars=3).collect()}
     assert out == {1: "ok\nlong paragraph one", 2: "ok\nlong paragraph two"}
+
+
+# --- bucketized interval (range) join ---
+
+
+def test_interval_join_matches_brute_force(spark):
+    import random as _random
+
+    from smartlogic_concordance_transformer_spark.datapipe.asof import interval_join
+
+    rng = _random.Random(13)
+    ivs = []
+    for i in range(60):
+        lo = rng.randrange(-50, 200)
+        ivs.append((i, lo, lo + rng.randrange(0, 40)))  # width 0 allowed
+    pts = [(j, rng.randrange(-60, 260)) for j in range(150)]
+    pts += pts[:5]  # duplicate point rows keep multiset semantics
+    expected = sorted(
+        (pid, p, iid, lo, hi)
+        for pid, p in pts
+        for iid, lo, hi in ivs
+        if lo <= p <= hi
+    )
+    pdf = spark.createDataFrame(pts, "pid int, p long")
+    idf = spark.createDataFrame(ivs, "iid int, lo long, hi long")
+    for chunk in (1, 7, 64, 1000):  # boundary-insensitive in chunk choice
+        got = sorted(
+            (r.pid, r.p, r.iid, r.lo, r.hi)
+            for r in interval_join(pdf, idf, "p", "lo", "hi", chunk=chunk).collect()
+        )
+        assert got == expected, f"chunk={chunk}"
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.asof import interval_join
+
+    pdf = spark.createDataFrame([(1, 5), (2, 500), (3, None)], "pid int, p long")
+    idf = spark.createDataFrame([(9, 0, 10)], "iid int, lo long, hi long")
+    got = {
+        (r.pid, r.p, r.iid, r.lo, r.hi)
+        for r in interval_join(pdf, idf, "p", "lo", "hi", chunk=8, how="left").collect()
+    }
+    assert got == {(1, 5, 9, 0, 10), (2, 500, None, None, None), (3, None, None, None, None)}
+
+
+def test_interval_join_drops_null_and_inverted_intervals(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.asof import interval_join
+
+    pdf = spark.createDataFrame([(1, 5)], "pid int, p long")
+    idf = spark.createDataFrame(
+        [(1, 0, 10), (2, 10, 0), (3, None, 10), (4, 0, None)],
+        "iid int, lo long, hi long",
+    )
+    got = {r.iid for r in interval_join(pdf, idf, "p", "lo", "hi", chunk=4).collect()}
+    assert got == {1}
+
+
+def test_interval_join_validates_args(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.asof import interval_join
+
+    pdf = spark.createDataFrame([(1, 5)], "pid int, p long")
+    with pytest.raises(ValueError):
+        interval_join(pdf, pdf, "p", "p", "p", chunk=0)
+    with pytest.raises(ValueError):
+        interval_join(pdf, pdf, "p", "p", "p", chunk=8, how="outer")

@@ -444,3 +444,16 @@ def test_fuzzy_match_has_no_cartesian_product(spark):
     plan = _plan(fuzzy_match_pairs(df))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_interval_join_is_equi_join_not_cartesian(spark):
+    # the chunking rewrite must plan as a hash/sort-merge equi-join on the
+    # cell id — a pure range predicate would fall back to
+    # BroadcastNestedLoopJoin/CartesianProduct
+    from smartlogic_concordance_transformer_spark.datapipe.asof import interval_join
+
+    pdf = spark.range(1000).selectExpr("id as pid", "id * 3 as p")
+    idf = spark.range(100).selectExpr("id as iid", "id * 30 as lo", "id * 30 + 40 as hi")
+    plan = _plan(interval_join(pdf, idf, "p", "lo", "hi", chunk=32))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
