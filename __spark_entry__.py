@@ -199,6 +199,33 @@ def q_kg_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_kg_resolve_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Entity resolution composition: fuzzy label pairs (SymSpell blocking
+    # + levenshtein verify) -> connected components -> canonical label per
+    # term (singletons map to themselves). Term set capped at 300 names so
+    # the oracle's recursive-CTE closure stays oracle-sized; the engine
+    # side is the same O(log^2 n) star algorithm as kg_cc.
+    from smartlogic_concordance_transformer_spark.datapipe.fuzzy import (
+        fuzzy_match_pairs,
+    )
+
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).filter(
+        "c_custkey <= 300"
+    )
+    base = c.select(F.col("c_name").alias("term"))
+    planted = c.filter("c_custkey % 97 = 0").select(
+        F.concat(
+            F.substring("c_name", 1, 9), F.expr("substring(c_name, 11)")
+        ).alias("term")
+    )
+    terms = base.unionByName(planted).distinct()
+    pairs = fuzzy_match_pairs(terms).select("a", "b")
+    cc = connected_components(pairs, src="a", dst="b")
+    return terms.join(cc, terms.term == cc.node, "left").select(
+        "term", F.coalesce("component", "term").alias("canonical")
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Points-in-interval lookup (the geo-IP shape): overlapping intervals
     # derived from part (width 2..100 over a 40-spaced line, so points hit
@@ -1763,6 +1790,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "dedup_paragraphs": q_dedup_paragraphs,
         "range_join": q_range_join,
+        "kg_resolve_fuzzy": q_kg_resolve_fuzzy,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1778,6 +1806,32 @@ def retired_oracle_sql() -> dict[str, str]:
     oracles = {
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
+        # independent closure: quadratic levenshtein pairs + recursive-CTE
+        # min-label propagation; singletons self-canonical via left join
+        "kg_resolve_fuzzy": """
+          with recursive t as (
+            select c_name as term from customer where c_custkey <= 300
+            union
+            select substr(c_name, 1, 9) || substr(c_name, 11) from customer
+            where c_custkey % 97 = 0 and c_custkey <= 300
+          ),
+          p as (
+            select a.term as a, b.term as b
+            from t a join t b
+              on a.term < b.term
+             and abs(length(a.term) - length(b.term)) <= 1
+            where levenshtein(a.term, b.term) <= 1),
+          e as (select a as u, b as v from p union select b, a from p),
+          n as (select distinct u as node from e),
+          reach(node, r) as (
+            select node, node from n
+            union
+            select e.u, reach.r from e join reach on reach.node = e.v
+          ),
+          lab as (select node, min(r) as canonical from reach group by node)
+          select t.term, coalesce(lab.canonical, t.term) as canonical
+          from t left join lab on t.term = lab.node
+        """,
         # the declarative range join the chunking rewrite must equal
         "range_join": """
           with iv as (select p_partkey, p_partkey * 40 as lo,
