@@ -199,6 +199,65 @@ def q_kg_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_changeset_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD1 merge with tombstones (the reference's op='delete' rows applied
+    # at batch grain): every 10th key upserted, every 20th then deleted at
+    # a later seq (latest-wins over the upsert), every 50th also inserted
+    # under a fresh key. The oracle replays latest-wins + tombstone + pass-
+    # through in SQL.
+    from smartlogic_concordance_transformer_spark.io_tables import apply_changeset
+
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    base = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    ups = c.filter("c_custkey % 10 = 0").select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal") + 1000.0).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).alias("seq"),
+        F.lit("upsert").alias("op"),
+    )
+    dels = c.filter("c_custkey % 20 = 0").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(2).alias("seq"),
+        F.lit("delete").alias("op"),
+    )
+    ins = c.filter("c_custkey % 50 = 0").select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).alias("seq"),
+        F.lit("upsert").alias("op"),
+    )
+    return apply_changeset(base, ups.unionByName(dels).unionByName(ins), ["k"])
+
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the salted join must be row-identical to the plain join, so the
+    # oracle is simply the unsalted SQL join + aggregation
+    from smartlogic_concordance_transformer_spark.datapipe.joins import salted_join
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    j = salted_join(
+        orders.select("o_custkey", "o_totalprice"),
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        ["o_custkey"],
+        salt=8,
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 def q_kg_resolve_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Entity resolution composition: fuzzy label pairs (SymSpell blocking
     # + levenshtein verify) -> connected components -> canonical label per
@@ -1791,6 +1850,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "range_join": q_range_join,
         "kg_resolve_fuzzy": q_kg_resolve_fuzzy,
+        "changeset_apply": q_changeset_apply,
+        "join_salted": q_join_salted,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1806,6 +1867,37 @@ def retired_oracle_sql() -> dict[str, str]:
     oracles = {
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
+        # latest-wins + tombstone + passthrough replayed declaratively
+        "changeset_apply": """
+          with base as (select c_custkey as k, c_acctbal as bal,
+                               c_mktsegment as seg from customer),
+          ch as (
+            select c_custkey as k, c_acctbal + 1000.0 as bal,
+                   c_mktsegment as seg, 1 as seq, 'upsert' as op
+            from customer where c_custkey % 10 = 0
+            union all
+            select c_custkey, c_acctbal, c_mktsegment, 2, 'delete'
+            from customer where c_custkey % 20 = 0
+            union all
+            select c_custkey + 1000000, c_acctbal, c_mktsegment, 1, 'upsert'
+            from customer where c_custkey % 50 = 0),
+          latest as (select *, row_number() over (partition by k
+                                                  order by seq desc) as rn
+                     from ch),
+          win as (select k, bal, seg, op from latest where rn = 1)
+          select b.k, b.bal, b.seg from base b
+          where b.k not in (select k from ch)
+          union all
+          select k, bal, seg from win where op = 'upsert'
+        """,
+        # the salted join is row-identical to the plain join by
+        # construction; the oracle is the unsalted join + agg
+        "join_salted": """
+          select c_mktsegment, count(*) as n,
+                 cast(sum(cast(o_totalprice as decimal(18,2))) as double) as revenue
+          from orders join customer on o_custkey = c_custkey
+          group by c_mktsegment
+        """,
         # independent closure: quadratic levenshtein pairs + recursive-CTE
         # min-label propagation; singletons self-canonical via left join
         "kg_resolve_fuzzy": """

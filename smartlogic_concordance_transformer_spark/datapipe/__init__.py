@@ -24,6 +24,7 @@ from .dedup import (
     simhash_near_dups,
 )
 from .fuzzy import deletion_neighborhood, fuzzy_match_pairs
+from .joins import salted_join
 from .hygiene import boilerplate_lines, flag_contaminated, strip_boilerplate
 from .sampling import (
     md5_long60,
@@ -68,6 +69,7 @@ __all__ = [
     "deletion_neighborhood",
     "fuzzy_match_pairs",
     "paragraph_dedup",
+    "salted_join",
     "exact_dedup",
     "banded_signatures",
     "simhash_banded",

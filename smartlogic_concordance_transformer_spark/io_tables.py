@@ -394,3 +394,57 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     metadata (a plain ``spark.read.parquet`` of the same files would
     lose the layout and re-shuffle on the next join)."""
     return spark.table(name)
+
+
+def apply_changeset(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    check_unique: bool = True,
+) -> DataFrame:
+    """Batch SCD1 merge — the parquet-side equivalent of the Iceberg
+    ``MERGE INTO ... WHEN MATCHED AND op='delete' THEN DELETE`` the
+    tombstone rows target (`triples.py`; reference semantics
+    ``service.go:321-333``): apply a changeset of upserts and deletes to a
+    snapshot and return the next snapshot.
+
+    Per key, the change with the greatest ``seq_col`` wins; a winning
+    ``op='delete'`` removes the key, a winning ``op='upsert'`` replaces
+    (or inserts) the row. Keys without changes pass through untouched.
+    ``changes`` must carry ``base``'s columns plus (seq, op).
+
+    Scale contract (the incremental-store shape shared with
+    ``incremental_components`` and the dedup probes): the snapshot is
+    NEVER shuffled — it is scanned once with a broadcast anti-join on the
+    batch's key set; only the batch (daily-sized) pays the latest-wins
+    window shuffle. Precondition: ``(key, seq)`` unique within the batch
+    (otherwise "latest" is ambiguous); runtime-asserted by default, one
+    count over the batch — disable with ``check_unique=False`` when the
+    producer already guarantees it.
+    """
+    from pyspark.sql.window import Window
+
+    ops = changes.select(op_col).distinct().collect()
+    bad = {r[0] for r in ops} - {"upsert", "delete"}
+    if bad:
+        raise ValueError(f"unknown {op_col!r} values in changeset: {sorted(bad)}")
+    if check_unique:
+        n = changes.count()
+        d = changes.select(*key_cols, seq_col).distinct().count()
+        if n != d:
+            raise ValueError(
+                f"changeset has {n - d} duplicate ({key_cols}, {seq_col}) rows — "
+                "latest-wins would be ambiguous"
+            )
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = latest.filter(F.col(op_col) == "upsert").select(*base.columns)
+    changed_keys = changes.select(*key_cols).distinct()
+    untouched = base.join(F.broadcast(changed_keys), key_cols, "anti")
+    return untouched.unionByName(upserts)

@@ -2116,3 +2116,42 @@ def test_interval_join_validates_args(spark):
         interval_join(pdf, pdf, "p", "p", "p", chunk=0)
     with pytest.raises(ValueError):
         interval_join(pdf, pdf, "p", "p", "p", chunk=8, how="outer")
+
+
+# --- salted skew join ---
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_equals_plain_join(spark, how):
+    from smartlogic_concordance_transformer_spark.datapipe import salted_join
+
+    # hot key 'h' on the probe side, duplicate build keys, null keys, an
+    # unmatched probe key — multiset equality with the plain join
+    left = spark.createDataFrame(
+        [("h", i) for i in range(200)] + [("x", 1), ("z", 2), (None, 3)],
+        "k string, lv int",
+    )
+    right = spark.createDataFrame(
+        [("h", 10), ("h", 11), ("x", 20), ("y", 30), (None, 40)],
+        "k string, rv int",
+    )
+    plain = sorted(
+        ((r.k, r.lv, r.rv) for r in left.join(right, ["k"], how).collect()),
+        key=str,
+    )
+    for salt in (1, 4):
+        got = sorted(
+            ((r.k, r.lv, r.rv) for r in salted_join(left, right, ["k"], salt=salt, how=how).collect()),
+            key=str,
+        )
+        assert got == plain, f"salt={salt}"
+
+
+def test_salted_join_validates_args(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import salted_join
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], salt=0)
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="full")

@@ -3,6 +3,8 @@
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from smartlogic_concordance_transformer_spark.io_tables import (
@@ -326,3 +328,69 @@ def test_bucketed_store_probe_simhash_and_semantic(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("drop table if exists t_sh_store")
         spark.sql("drop table if exists t_sem_store")
+
+
+# --- changeset apply (SCD1 merge with tombstones) ---
+
+
+def test_apply_changeset_semantics(spark):
+    from smartlogic_concordance_transformer_spark.io_tables import apply_changeset
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 1, "upsert"),   # replace
+            (3, "xx", 1, "upsert"),   # superseded by the later delete
+            (3, None, 2, "delete"),   # latest wins -> key 3 gone
+            (5, "e", 1, "upsert"),    # insert of a new key
+            (4, None, 1, "delete"),   # plain tombstone
+        ],
+        "k long, v string, seq int, op string",
+    )
+    got = {(r.k, r.v) for r in apply_changeset(base, changes, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "b2"), (5, "e")}
+
+
+def test_apply_changeset_upsert_after_delete_resurrects(spark):
+    from smartlogic_concordance_transformer_spark.io_tables import apply_changeset
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, None, 1, "delete"), (1, "a2", 2, "upsert")],
+        "k long, v string, seq int, op string",
+    )
+    got = {(r.k, r.v) for r in apply_changeset(base, changes, ["k"]).collect()}
+    assert got == {(1, "a2")}
+
+
+def test_apply_changeset_validates(spark):
+    from smartlogic_concordance_transformer_spark.io_tables import apply_changeset
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    dup = spark.createDataFrame(
+        [(1, "x", 1, "upsert"), (1, "y", 1, "upsert")],
+        "k long, v string, seq int, op string",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        apply_changeset(base, dup, ["k"]).collect()
+    badop = spark.createDataFrame(
+        [(1, "x", 1, "merge")], "k long, v string, seq int, op string"
+    )
+    with pytest.raises(ValueError, match="unknown"):
+        apply_changeset(base, badop, ["k"]).collect()
+
+
+def test_apply_changeset_store_side_is_broadcast_anti(spark):
+    # the snapshot never shuffles: its only plan entry is a broadcast
+    # anti-join against the batch's key set
+    from smartlogic_concordance_transformer_spark.io_tables import apply_changeset
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(2, "b2", 1, "upsert")], "k long, v string, seq int, op string"
+    )
+    out = apply_changeset(base, changes, ["k"], check_unique=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

@@ -457,3 +457,20 @@ def test_interval_join_is_equi_join_not_cartesian(spark):
     plan = _plan(interval_join(pdf, idf, "p", "lo", "hi", chunk=32))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_salted_join_widens_the_shuffle_key(spark):
+    # the whole point: the exchange must hash on (key, _salt), not key
+    # alone — otherwise the hot key still lands in one task
+    from smartlogic_concordance_transformer_spark.datapipe import salted_join
+
+    left = spark.range(10000).selectExpr("'hot' as k", "id as lv")
+    right = spark.range(100).selectExpr("'hot' as k", "id as rv")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(salted_join(left, right, ["k"], salt=8))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    import re
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all("_salt" in p for p in parts), plan
