@@ -448,3 +448,101 @@ def apply_changeset(
     changed_keys = changes.select(*key_cols).distinct()
     untouched = base.join(F.broadcast(changed_keys), key_cols, "anti")
     return untouched.unionByName(upserts)
+
+
+class ChangesetStore:
+    """Durable keyed snapshot maintained by changesets — the batch/stream
+    sink analog of the reference's Kafka-consumer update flow (each
+    message upserts or tombstones one concordance; ``service.go``): the
+    snapshot lives as parquet partitioned by ``kb = pmod(xxhash64(key),
+    n_buckets)``, and each ``apply()`` rewrites ONLY the buckets the
+    batch touches.
+
+    Scale contract:
+
+    * reading the affected slice is a partition-pruned scan (the ``kb``
+      filter prunes at the source — never a full-store read);
+    * the write uses dynamic partition overwrite, so concurrent-safe
+      replay of the same changeset is a byte-identical no-op (upserts
+      rewrite the same values, deletes find nothing) — idempotent under
+      at-least-once delivery, same discipline as the streaming dedup
+      sink's batch-id partitions;
+    * a bucket whose every key is tombstoned produces no rows, which
+      dynamic overwrite alone would leave stale — ``apply()`` clears such
+      buckets explicitly (the local-fs analog of an Iceberg delete
+      manifest).
+
+    Wire into Structured Streaming with
+    ``stream.writeStream.foreachBatch(lambda df, _id: store.apply(df))``.
+    """
+
+    def __init__(self, root: str, key_cols: list[str], n_buckets: int = 64):
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        self.root = root
+        self.key_cols = list(key_cols)
+        self.n_buckets = n_buckets
+
+    def _kb(self) -> "F.Column":
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
+        )
+
+    def init(self, base: DataFrame) -> None:
+        """Write the initial snapshot (overwrites any existing store)."""
+        withkb = base.withColumn("kb", self._kb())
+        withkb.write.mode("overwrite").partitionBy("kb").parquet(self.root)
+        # persist the schema so a store whose every bucket was tombstoned
+        # (zero parquet files on disk) still reads back as an empty frame
+        with open(os.path.join(self.root, "_meta.json"), "w") as f:
+            json.dump({"schema": withkb.schema.jsonValue()}, f)
+
+    def _read_raw(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        with open(os.path.join(self.root, "_meta.json")) as f:
+            schema = StructType.fromJson(json.load(f)["schema"])
+        return spark.read.schema(schema).parquet(self.root)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self._read_raw(spark).drop("kb")
+
+    def apply(
+        self,
+        changes: DataFrame,
+        seq_col: str = "seq",
+        op_col: str = "op",
+        check_unique: bool = True,
+    ) -> list[int]:
+        """Fold one changeset into the snapshot; returns the bucket ids
+        rewritten. ``changes`` = snapshot columns + (seq, op)."""
+        spark = changes.sparkSession
+        ch = changes.withColumn("kb", self._kb()).localCheckpoint()
+        affected = sorted(r[0] for r in ch.select("kb").distinct().collect())
+        if not affected:
+            return []
+        base_slice = self._read_raw(spark).filter(F.col("kb").isin(affected))
+        merged = apply_changeset(
+            base_slice,
+            ch,
+            self.key_cols,
+            seq_col=seq_col,
+            op_col=op_col,
+            check_unique=check_unique,
+        )
+        # merged keeps base_slice's columns (incl. kb, already correct for
+        # pass-through rows; recompute for upserted/inserted rows)
+        out = merged.withColumn("kb", self._kb()).localCheckpoint()
+        nonempty = {r[0] for r in out.select("kb").distinct().collect()}
+        out.write.mode("overwrite").partitionBy("kb").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(self.root)
+        # dynamic overwrite can't clear a bucket that emitted zero rows
+        import shutil
+
+        for kb in affected:
+            if kb not in nonempty:
+                part = os.path.join(self.root, f"kb={kb}")
+                if os.path.isdir(part):
+                    shutil.rmtree(part)
+        return affected

@@ -394,3 +394,88 @@ def test_apply_changeset_store_side_is_broadcast_anti(spark):
     out = apply_changeset(base, changes, ["k"], check_unique=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_changeset_store_sequential_batches_match_reference(spark, tmp_path):
+    from smartlogic_concordance_transformer_spark.io_tables import (
+        ChangesetStore,
+        apply_changeset,
+    )
+
+    root = str(tmp_path / "store")
+    base_rows = [(i, f"v{i}") for i in range(20)]
+    base = spark.createDataFrame(base_rows, "k long, v string")
+    store = ChangesetStore(root, ["k"], n_buckets=4)
+    store.init(base)
+
+    batches = [
+        [(3, "v3b", 1, "upsert"), (4, None, 1, "delete"), (100, "new", 1, "upsert")],
+        [(100, None, 1, "delete"), (3, "v3c", 1, "upsert"), (5, None, 1, "delete")],
+        [(4, "back", 1, "upsert")],
+    ]
+    ref = base
+    for b in batches:
+        ch = spark.createDataFrame(b, "k long, v string, seq int, op string")
+        store.apply(ch)
+        ref = apply_changeset(ref, ch, ["k"]).localCheckpoint()
+    got = {(r.k, r.v) for r in store.read(spark).collect()}
+    want = {(r.k, r.v) for r in ref.collect()}
+    assert got == want
+
+
+def test_changeset_store_untouched_buckets_not_rewritten(spark, tmp_path):
+    import glob
+    import os as _os
+
+    from smartlogic_concordance_transformer_spark.io_tables import ChangesetStore
+
+    root = str(tmp_path / "store")
+    base = spark.createDataFrame([(i, i * 10) for i in range(40)], "k long, v long")
+    store = ChangesetStore(root, ["k"], n_buckets=8)
+    store.init(base)
+    ch = spark.createDataFrame([(1, 999, 1, "upsert")], "k long, v long, seq int, op string")
+    before = {p: _os.path.getmtime(p) for p in glob.glob(f"{root}/kb=*/*.parquet")}
+    affected = store.apply(ch)
+    assert len(affected) == 1
+    after = {p: _os.path.getmtime(p) for p in glob.glob(f"{root}/kb=*/*.parquet")}
+    touched_prefix = f"{root}/kb={affected[0]}/"
+    for p, t in before.items():
+        if not p.startswith(touched_prefix):
+            assert p in after and after[p] == t, f"untouched bucket rewritten: {p}"
+
+
+def test_changeset_store_clears_fully_tombstoned_bucket(spark, tmp_path):
+    import os as _os
+
+    from smartlogic_concordance_transformer_spark.io_tables import ChangesetStore
+
+    root = str(tmp_path / "store")
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    store = ChangesetStore(root, ["k"], n_buckets=2)
+    store.init(base)
+    ch = spark.createDataFrame([(1, None, 1, "delete")], "k long, v string, seq int, op string")
+    store.apply(ch)
+    assert store.read(spark).count() == 0
+    assert not any(
+        d.startswith("kb=") and _os.listdir(_os.path.join(root, d))
+        for d in _os.listdir(root)
+        if _os.path.isdir(_os.path.join(root, d))
+    )
+
+
+def test_changeset_store_replay_is_idempotent(spark, tmp_path):
+    from smartlogic_concordance_transformer_spark.io_tables import ChangesetStore
+
+    root = str(tmp_path / "store")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    store = ChangesetStore(root, ["k"], n_buckets=2)
+    store.init(base)
+    ch = spark.createDataFrame(
+        [(1, "a2", 1, "upsert"), (2, None, 1, "delete")],
+        "k long, v string, seq int, op string",
+    )
+    store.apply(ch)
+    first = {(r.k, r.v) for r in store.read(spark).collect()}
+    store.apply(ch)  # at-least-once redelivery
+    second = {(r.k, r.v) for r in store.read(spark).collect()}
+    assert first == second == {(1, "a2")}
