@@ -1162,6 +1162,37 @@ def q_pipeline_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.join(ledger.select("doc_id", "stage", "split"), "doc_id")
 
 
+def q_pipeline_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pipeline_e2e with the paragraph-dedup stage enabled: the planted
+    # 3-doc shared community-guidelines lines AND the corpus-wide
+    # scrubbed-PII line (identical in every doc post-scrub) are excised
+    # keep-first from the near-dedup survivors; shingles rebuild from the
+    # rewritten text and decontamination/mix/split consume it. Output is
+    # the 'paragraphs' stage table (rewritten BYTES) joined to each doc's
+    # final ledger outcome — same contract shape as pipeline_substring.
+    from smartlogic_concordance_transformer_spark.datapipe.curation import (
+        pretraining_pipeline,
+    )
+
+    raw, bench = _pipeline_raw(spark, sf_dir, plant_paragraphs=True)
+    captured: dict[str, DataFrame] = {}
+
+    def hook(df: DataFrame, stage: str) -> DataFrame:
+        out = df.localCheckpoint(eager=False)
+        captured[stage] = out
+        return out
+
+    ledger = pretraining_pipeline(
+        raw,
+        bench,
+        mix_fractions={"src0": 64, "src1": 128},
+        paragraph_dedup=True,
+        materialize=hook,
+    )
+    ex = captured["paragraphs"].select("doc_id", "clean")
+    return ex.join(ledger.select("doc_id", "stage", "split"), "doc_id")
+
+
 def q_web_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     # URL normalization — the CommonCrawl URL-level dedup key: drop
     # fragment, lowercase scheme/authority (not path), strip default
@@ -1263,6 +1294,7 @@ def _pipeline_raw(
     sf_dir: str,
     plant_substrings: bool = False,
     plant_classifier: bool = False,
+    plant_paragraphs: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The pipeline_e2e input corpus (raw docs with planted failures +
     benchmark frame) — shared by the contract query and the oracle-
@@ -1276,8 +1308,29 @@ def _pipeline_raw(
     spam-vocabulary tokens (see _CLF_TOKENS note) into every 35k+11 doc
     — vocabulary-spammy but heuristic-clean (distinct words, normal
     length), so ONLY the model gate catches it: the pipeline_classifier
-    corpus."""
+    corpus.
+
+    ``plant_paragraphs``: plant a shared line into every 55k+19 doc
+    (3 groups keyed by doc_id % 3 — small enough to stay under the
+    boilerplate min_docs=5 threshold at the sf0.01 oracle corpus, so
+    hygiene can't strip it and only the paragraph stage catches it;
+    %55+19 is CRT-disjoint from the 40/60/50/30+7/45+13/35+11 families):
+    the pipeline_paragraph corpus. The corpus-wide scrubbed-PII line is
+    a second, unplanted duplicate paragraph in EVERY doc."""
     d = _spread(spark, _docs(spark, sf_dir))
+    if plant_paragraphs:
+        t = F.col("text")
+        d = d.withColumn(
+            "text",
+            F.when(
+                F.pmod("doc_id", 55) == 19,
+                F.concat(
+                    t,
+                    F.lit("\ncommunity guidelines apply to group "),
+                    F.pmod("doc_id", 3).cast("string"),
+                ),
+            ).otherwise(t),
+        )
     if plant_classifier:
         t = F.col("text")
         # doc-id prefix keeps the line unique per doc (a byte-identical
@@ -1852,6 +1905,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_resolve_fuzzy": q_kg_resolve_fuzzy,
         "changeset_apply": q_changeset_apply,
         "join_salted": q_join_salted,
+        "pipeline_paragraph": q_pipeline_paragraph,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1867,6 +1921,7 @@ def retired_oracle_sql() -> dict[str, str]:
     oracles = {
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
+        "pipeline_paragraph": _pipeline_oracle(paragraph=True),
         # latest-wins + tombstone + passthrough replayed declaratively
         "changeset_apply": """
           with base as (select c_custkey as k, c_acctbal as bal,
@@ -2979,7 +3034,9 @@ def _pii_oracle() -> str:
     return f"select doc_id, {_pii_chain(expr)} as clean from documents"
 
 
-def _pipeline_oracle(substring: bool = False, classifier: bool = False) -> str:
+def _pipeline_oracle(
+    substring: bool = False, classifier: bool = False, paragraph: bool = False
+) -> str:
     """Independent SQL replay of the whole curation cascade. Each stage
     reuses the same fragment shapes its standalone oracle uses; near-dedup
     is all-pairs (oracles don't need to scale) where the engine is
@@ -3031,6 +3088,18 @@ def _pipeline_oracle(substring: bool = False, classifier: bool = False) -> str:
                case when doc_id % 35 = 11
                     then text || chr(10) || 'doc' || cast(doc_id as varchar) ||
                          ' promo: {" ".join(_CLF_TOKENS)}'
+                    else text end as text
+        from documents),
+      """
+    elif paragraph:
+        # mirrors _pipeline_raw plant_paragraphs: 3 shared-line groups,
+        # each under the boilerplate min_docs threshold at sf0.01
+        docs0 = """docs0 as (
+        select doc_id, source,
+               case when doc_id % 55 = 19
+                    then text || chr(10) ||
+                         'community guidelines apply to group ' ||
+                         cast(doc_id % 3 as varchar)
                     else text end as text
         from documents),
       """
@@ -3109,13 +3178,16 @@ def _pipeline_oracle(substring: bool = False, classifier: bool = False) -> str:
              group by 1),
       dn as (select doc_id, 'near_dup' as stage from np),
       s3 as (select * from s2 where doc_id not in (select doc_id from np)),
-      {_pipeline_oracle_tail(sets, substring, classifier)}
+      {_pipeline_oracle_tail(sets, substring, classifier, paragraph)}
     """
 
 
-def _pipeline_oracle_tail(sets: str, substring: bool, classifier: bool = False) -> str:
-    """The cascade tail after near-dedup: [substring excision ->]
-    decontamination -> mix -> split, plus the variant's final select."""
+def _pipeline_oracle_tail(
+    sets: str, substring: bool, classifier: bool = False, paragraph: bool = False
+) -> str:
+    """The cascade tail after near-dedup: [paragraph dedup -> |
+    substring excision ->] decontamination -> mix -> split, plus the
+    variant's final select."""
     dcl_union = "union all select * from dcl " if classifier else ""
     bsh = """bsh as (select distinct unnest(s) as g from (
                 select list_distinct(list_transform(range(greatest(len(toks) - 2, 1)),
@@ -3135,6 +3207,45 @@ def _pipeline_oracle_tail(sets: str, substring: bool, classifier: bool = False) 
                     else true end),
       dm as (select doc_id, 'mix' as stage from s4
              where doc_id not in (select doc_id from keptmix))"""
+    if paragraph:
+        # paragraph-grain keep-first over s3's cleaned text (winner =
+        # min (doc_id, idx) per distinct paragraph, sub-1-char rows pass
+        # through — none exist on this corpus), docs rebuilt in index
+        # order, shingles rebuilt from the rewritten bytes, then the
+        # identical decontamination/mix tail and the substring-variant
+        # contract shape (rewritten bytes + ledger outcome)
+        return f"""pls as (select doc_id, string_split(c, chr(10)) as l from s3),
+      ppx as (select doc_id,
+                     unnest(list_transform(range(len(l)),
+                                           i -> {{'idx': i, 'para': l[i+1]}})) as u
+              from pls),
+      pp2 as (select doc_id, u.idx as idx, u.para as para from ppx),
+      pel as (select doc_id, idx, para,
+                     row_number() over (partition by para
+                                        order by doc_id, idx) as rn
+              from pp2 where length(para) >= 1),
+      pkeep as (select doc_id, idx, para from pel where rn = 1
+                union all
+                select doc_id, idx, para from pp2 where length(para) < 1),
+      pagg as (select doc_id, string_agg(para, chr(10) order by idx) as c2
+               from pkeep group by doc_id),
+      pdoc as (select s3.doc_id, s3.source, coalesce(p.c2, '') as c
+               from s3 left join pagg p using (doc_id)),
+      sets3 as ({sets.format(src='pdoc')}),
+      {bsh}
+      dsh as (select t.doc_id, len(t.s) as n_sh, unnest(t.s) as g from sets3 t),
+      {mix_tail.format(s4_cols='doc_id, source', s4_src='pdoc')},
+      ledger as (
+        select doc_id, 'kept' as stage,
+               case when substr(md5('split:' || cast(doc_id as varchar)), 1, 2) < '1a'
+                    then 'test' else 'train' end as split
+        from keptmix
+        union all
+        select doc_id, 'contaminated', cast(null as varchar) from fl
+        union all
+        select doc_id, 'mix', cast(null as varchar) from dm)
+      select x.doc_id as doc_id, x.c as clean, l.stage as stage, l.split as split
+      from pdoc x join ledger l using (doc_id)"""
     if not substring:
         return f"""{bsh}
       dsh as (select t.doc_id, len(t.s) as n_sh, unnest(t.s) as g

@@ -71,6 +71,8 @@ def pretraining_pipeline(
     mix_fractions: dict[str, int] | None = None,
     boilerplate_min_docs: int = 5,
     shingle_k: int = 3,
+    paragraph_dedup: bool = False,
+    paragraph_min_chars: int = 1,
     substring_dedup: bool = False,
     substring_k: int = 50,
     classifier_weights: dict[str, int] | None = None,
@@ -94,7 +96,18 @@ def pretraining_pipeline(
     run becomes resumable per stage via the stage ledger (a rerun over
     the same root reuses completed stages), which is the 100 TB shape
     the module docstring describes. Stage names, in write order:
-    cleaned, base, s2, sigs, dup_keys, [excised,] flagged, kept_mix.
+    cleaned, base, s2, sigs, dup_keys, [paragraphs,] [excised,]
+    flagged, kept_mix.
+
+    ``paragraph_dedup``: insert a paragraph-grain dedup stage (the
+    RefinedWeb rule) between near-dedup and the substring/decon tail —
+    each distinct paragraph keeps only its corpus-wide first occurrence
+    (lowest ``(key, idx)``), documents are REWRITTEN in place (no new
+    drop stage), and the shingle column rebuilds from the rewritten
+    text. Paragraphs shorter than ``paragraph_min_chars`` pass through.
+    Stage name: 'paragraphs'. Composes with ``substring_dedup`` —
+    paragraph grain first (cheap exact line hashing), substring spans
+    on what survives.
 
     ``substring_dedup``: insert a substring-level dedup stage (Lee et
     al. 2022) between near-dedup and decontamination — duplicated
@@ -217,6 +230,25 @@ def pretraining_pipeline(
     )
     drops_near = _drop(s2.join(dup_keys, key_col, "left_semi"), key_col, "near_dup")
     s3 = s2.join(dup_keys, key_col, "left_anti")
+
+    if paragraph_dedup:
+        # -- paragraph-grain dedup (RefinedWeb): excise every non-first
+        # occurrence of each distinct paragraph from the near-dedup
+        # survivors. Whole-document grain above caught copies; this
+        # catches the shared LINE (quote blocks, license footers, the
+        # corpus-wide scrubbed-PII line) inside otherwise-distinct docs.
+        # Shingles rebuild so downstream stages judge the rewritten text.
+        from .dedup import paragraph_dedup as _paragraph_dedup
+
+        s3 = (
+            _paragraph_dedup(
+                s3, text_col="clean", key_col=key_col,
+                min_chars=paragraph_min_chars, clean_col="clean",
+            )
+            .drop("n_dropped")
+            .withColumn("_sh", shingles("clean", shingle_k))
+        )
+        s3 = barrier(s3, "paragraphs")
 
     if substring_dedup:
         # -- substring-level dedup (Lee et al. 2022): cut duplicated

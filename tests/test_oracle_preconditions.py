@@ -150,6 +150,29 @@ def test_pipeline_substring_stage_fires(spark):
         assert u + u not in by_id[i] and by_id[i].count(u) <= 1
 
 
+def test_pipeline_paragraph_stage_fires(spark):
+    """pipeline_paragraph's engine=oracle hash equality would also hold
+    if the paragraph stage silently no-opped — assert the planted
+    duplication actually fires on the shipped corpus: keep-first leaves
+    exactly ONE copy of each planted community-guidelines group line and
+    exactly ONE copy of the corpus-wide scrubbed PII line, and every
+    non-winner planted doc had its line excised (not the doc dropped)."""
+    by_id = {
+        r.doc_id: r.clean for r in entry.q_pipeline_paragraph(spark, SF_DIR).collect()
+    }
+    planted = [i for i in by_id if i % 55 == 19]
+    assert len(planted) >= 4, "planted paragraph docs dropped before the stage"
+    for g in range(3):
+        line = f"community guidelines apply to group {g}"
+        group_docs = [i for i in planted if i % 3 == g]
+        if not group_docs:
+            continue
+        hits = [i for i in group_docs if line in by_id[i]]
+        assert hits == [min(group_docs)], (g, hits, group_docs)
+    pii = "contact <EMAIL> or <PHONE> ssn <SSN> card <CC> ip <IP>"
+    assert sum(pii in c for c in by_id.values()) == 1
+
+
 def test_sim_ivf_float_separation():
     """sim_ivf's hash equality needs no two cell distances (per corpus
     row), probe distances (per query), or rerank scores (per query) to be
