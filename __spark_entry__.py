@@ -199,6 +199,20 @@ def q_kg_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Morton (Z-order) clustering key — exact integer bit interleave, so
+    # the oracle replays it with DuckDB's shift/mask operators. The
+    # locality property the key exists for (every z-sorted file covers a
+    # narrow (x, y) rectangle in its parquet footer stats) is pinned by
+    # tests/test_io_tables.py::test_write_zordered_files_cover_narrow_rectangles.
+    from smartlogic_concordance_transformer_spark.io_tables import zorder_key
+
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "pmod(doc_id, 1024) as x", "pmod(doc_id * 7, 1024) as y"
+    )
+    return d.select("doc_id", "x", "y", zorder_key("x", "y").alias("z"))
+
+
 def q_changeset_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SCD1 merge with tombstones (the reference's op='delete' rows applied
     # at batch grain): every 10th key upserted, every 20th then deleted at
@@ -1906,6 +1920,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changeset_apply": q_changeset_apply,
         "join_salted": q_join_salted,
         "pipeline_paragraph": q_pipeline_paragraph,
+        "zorder_key": q_zorder_key,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1922,6 +1937,17 @@ def retired_oracle_sql() -> dict[str, str]:
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
         "pipeline_paragraph": _pipeline_oracle(paragraph=True),
+        # the same bit interleave with DuckDB shift/mask operators
+        "zorder_key": """
+          with d as (select doc_id, doc_id % 1024 as x,
+                            (doc_id * 7) % 1024 as y
+                     from documents)
+          select doc_id, x, y,
+                 cast(list_sum(list_transform(range(21), i ->
+                   (((x >> i) & 1) << (2 * i)) +
+                   (((y >> i) & 1) << (2 * i + 1)))) as bigint) as z
+          from d
+        """,
         # latest-wins + tombstone + passthrough replayed declaratively
         "changeset_apply": """
           with base as (select c_custkey as k, c_acctbal as bal,

@@ -546,3 +546,54 @@ class ChangesetStore:
                 if os.path.isdir(part):
                     shutil.rmtree(part)
         return affected
+
+
+def zorder_key(x, y, bits: int = 21):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    nonnegative integer columns — ``x`` on even bit positions, ``y`` on
+    odd. Sorting by this single key clusters BOTH dimensions at once
+    (Delta/Iceberg ``OPTIMIZE ZORDER BY``): any file/row-group then spans
+    a narrow rectangle of (x, y) space, so min/max footer stats prune
+    scans filtered on EITHER column — a plain sort clusters only its
+    leading column. 21+21 bits stays inside the signed-64 range. A pure
+    zero-shuffle integer fold; caller range-reduces (or
+    ``pmod``/``floor``-buckets) values wider than ``bits`` bits first.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    # bits is static, so the interleave unrolls to one flat codegen
+    # expression (shift amounts must be Python ints for shiftleft/right)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    n_files: int = 16,
+    bits: int = 21,
+) -> None:
+    """Rewrite a table clustered by the Morton key of (x, y):
+    ``repartitionByRange`` on the key (one range exchange — contiguous
+    z-ranges per output file) then a partition-local sort, so every file's
+    (x, y) footer stats cover a narrow rectangle and predicate-pushdown
+    scans on either column skip most files. The write itself carries no
+    extra column — the key is computed, ranged on, and dropped."""
+    keyed = df.withColumn("_z", zorder_key(x, y, bits))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
