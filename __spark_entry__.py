@@ -199,6 +199,24 @@ def q_kg_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the attribution-window join (purchase within 10 min of a click by
+    # the same user), run in its static form — the IDENTICAL expression
+    # Spark executes as a watermarked stream-stream join on streams
+    # (streaming == static is pinned by test_streaming_analytics). The
+    # oracle is the declarative time-range join.
+    from smartlogic_concordance_transformer_spark.streaming_analytics import (
+        stream_interval_join,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = e.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    purch = e.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "event_id"
+    )
+    return stream_interval_join(clicks, purch)
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Morton (Z-order) clustering key — exact integer bit interleave, so
     # the oracle replays it with DuckDB's shift/mask operators. The
@@ -1921,6 +1939,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_salted": q_join_salted,
         "pipeline_paragraph": q_pipeline_paragraph,
         "zorder_key": q_zorder_key,
+        "stream_interval_join": q_stream_interval_join,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1937,6 +1956,19 @@ def retired_oracle_sql() -> dict[str, str]:
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
         "pipeline_paragraph": _pipeline_oracle(paragraph=True),
+        # the declarative time-range join the streaming state-store
+        # evaluation must equal
+        "stream_interval_join": """
+          select c.user_id, c.ts, c.event_id,
+                 p.ts as r_ts, p.event_id as r_event_id
+          from (select user_id, ts, event_id from events
+                where event_type = 'click') c
+          join (select user_id, ts, event_id from events
+                where event_type = 'purchase') p
+            on c.user_id = p.user_id
+           and p.ts >= c.ts
+           and p.ts <= c.ts + interval 10 minutes
+        """,
         # the same bit interleave with DuckDB shift/mask operators
         "zorder_key": """
           with d as (select doc_id, doc_id % 1024 as x,

@@ -141,3 +141,51 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "10 minutes",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream event correlation: every (left, right) pair with the
+    same ``key`` and ``right.ts`` in ``[left.ts + lower, left.ts +
+    upper]`` — the attribution-window join (click -> purchase within N
+    minutes). Inner join; right columns come back ``prefix``-renamed.
+
+    On streams this is Spark's watermarked stream-stream join: BOTH sides
+    get an event-time watermark and the join carries the explicit time-
+    range condition, which is what lets the state store evict — a
+    streaming join without the range bound would buffer both streams
+    forever. State per key is bounded by ``watermark + (upper - lower)``
+    of event-time. On static frames the identical expression runs as a
+    plain join, which is how the DuckDB oracle checks it row-for-row.
+
+    Scale contract: the join shuffles both streams by ``key`` once
+    (stock stream-stream join exchange); the time-range predicate is
+    evaluated inside the keyed state store, never as a cross join.
+    """
+    lw = left.withWatermark(ts_col, watermark) if left.isStreaming else left
+    rw = right.withWatermark(ts_col, watermark) if right.isStreaming else right
+    r_ren = rw.select(
+        F.col(key).alias(f"{prefix}{key}"),
+        F.col(ts_col).alias(f"{prefix}{ts_col}"),
+        *[
+            F.col(c).alias(f"{prefix}{c}")
+            for c in rw.columns
+            if c not in (key, ts_col)
+        ],
+    )
+    lo = F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {lower}")
+    hi = F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {upper}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{prefix}{key}"))
+        & (F.col(f"r.{prefix}{ts_col}") >= lo)
+        & (F.col(f"r.{prefix}{ts_col}") <= hi)
+    )
+    return lw.alias("l").join(r_ren.alias("r"), cond).drop(f"{prefix}{key}")

@@ -125,3 +125,92 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
         [(1, 1.0), (1, 2.0), (2, 3.0)], "event_id long, value double"
     ).withColumn("ts", F.current_timestamp())
     assert dedup_stream(static, keys=["event_id"]).count() == 2
+
+
+def test_stream_interval_join_static_semantics(spark):
+    from smartlogic_concordance_transformer_spark.streaming_analytics import (
+        stream_interval_join,
+    )
+
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    clicks = spark.createDataFrame(
+        [(1, base, 100), (2, base, 101)], "user_id long, ts timestamp, event_id long"
+    )
+    purch = spark.createDataFrame(
+        [
+            (1, base + timedelta(minutes=5), 200),   # inside window
+            (1, base + timedelta(minutes=11), 201),  # beyond upper
+            (1, base - timedelta(minutes=1), 202),   # before lower
+            (2, base + timedelta(minutes=10), 203),  # boundary inclusive
+            (3, base + timedelta(minutes=1), 204),   # wrong key
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    got = {
+        (r.event_id, r.r_event_id)
+        for r in stream_interval_join(clicks, purch).collect()
+    }
+    assert got == {(100, 200), (101, 203)}
+
+
+def test_stream_interval_join_streaming_matches_static(spark, tmp_path):
+    """The real stream-stream join (both sides watermarked, state evicted
+    by the time-range bound) must produce exactly the static join's rows,
+    including matches that pair rows from DIFFERENT micro-batches."""
+    from smartlogic_concordance_transformer_spark.streaming_analytics import (
+        stream_interval_join,
+    )
+
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    clicks = [
+        {"user_id": u, "ts": (base + timedelta(minutes=m)).isoformat(sep=" "),
+         "event_id": 100 + i}
+        for i, (u, m) in enumerate([(1, 0), (2, 3), (1, 20), (3, 25)])
+    ]
+    purchases = [
+        {"user_id": u, "ts": (base + timedelta(minutes=m)).isoformat(sep=" "),
+         "event_id": 200 + i}
+        for i, (u, m) in enumerate([(1, 5), (2, 14), (1, 28), (3, 24), (2, 4)])
+    ]
+    lind, rind = tmp_path / "l", tmp_path / "r"
+    lind.mkdir(); rind.mkdir()
+    # split across files so matches cross micro-batch boundaries
+    for name, rows, d in [
+        ("b0.json", clicks[:2], lind), ("b1.json", clicks[2:], lind),
+        ("b0.json", purchases[:2], rind), ("b1.json", purchases[2:], rind),
+    ]:
+        with open(d / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    schema = "user_id long, ts timestamp, event_id long"
+    ls = spark.readStream.schema(schema).json(str(lind))
+    rs = spark.readStream.schema(schema).json(str(rind))
+    out = stream_interval_join(ls, rs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sij")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.event_id, r.r_event_id)
+        for r in spark.sql("select * from sij").collect()
+    }
+    lstat = spark.createDataFrame(
+        [(c["user_id"], datetime.fromisoformat(c["ts"]), c["event_id"]) for c in clicks],
+        schema,
+    )
+    rstat = spark.createDataFrame(
+        [(p["user_id"], datetime.fromisoformat(p["ts"]), p["event_id"]) for p in purchases],
+        schema,
+    )
+    want = {
+        (r.event_id, r.r_event_id)
+        for r in stream_interval_join(lstat, rstat).collect()
+    }
+    assert got == want and want, (got, want)
