@@ -49,6 +49,7 @@ from .similarity import (
     spherical_assign,
     train_ivf_centroids,
 )
+from .sketches import distinct_count_estimate, quantile_estimate
 from .web import normalize_url, url_host
 from .text import (
     apply_bpe_merges,
@@ -70,6 +71,8 @@ __all__ = [
     "fuzzy_match_pairs",
     "paragraph_dedup",
     "salted_join",
+    "distinct_count_estimate",
+    "quantile_estimate",
     "exact_dedup",
     "banded_signatures",
     "simhash_banded",

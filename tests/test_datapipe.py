@@ -2155,3 +2155,50 @@ def test_salted_join_validates_args(spark):
         salted_join(df, df, ["k"], salt=0)
     with pytest.raises(ValueError):
         salted_join(df, df, ["k"], how="full")
+
+
+# --- approximate sketches (bounded-error contract, not oracle-hashable) ---
+
+
+def test_distinct_count_estimate_within_rsd(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import distinct_count_estimate
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = e.select("user_id").distinct().count()
+    est = distinct_count_estimate(e, "user_id", rsd=0.02).first().n_distinct
+    # 5 standard deviations of headroom on the configured rsd
+    assert abs(est - exact) <= max(5 * 0.02 * exact, 1), (est, exact)
+    # grouped: per event_type estimates also inside the bound
+    by_type = {
+        r.event_type: r.n_distinct
+        for r in distinct_count_estimate(e, "user_id", ["event_type"], rsd=0.02).collect()
+    }
+    exact_by = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(__import__("pyspark").sql.functions.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact_by.items():
+        assert abs(by_type[t] - n) <= max(5 * 0.02 * n, 1), (t, by_type[t], n)
+    # HLL register maxima are order-insensitive: repartition-invariant
+    est2 = distinct_count_estimate(e.repartition(7), "user_id", rsd=0.02).first().n_distinct
+    assert est == est2
+
+
+def test_quantile_estimate_within_rank_error(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import quantile_estimate
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    vals = sorted(r.value for r in e.select("value").collect())
+    n = len(vals)
+    qs = [0.1, 0.5, 0.99]
+    got = quantile_estimate(e, "value", qs, accuracy=10000).first().qs
+    for q, est in zip(qs, got):
+        # rank error <= n/accuracy (+1 slack for interpolation-free picks)
+        rank = vals.index(min(vals, key=lambda v: abs(v - est)))
+        assert abs(rank - q * n) <= n / 10000 + 2, (q, est, rank)
+    with pytest.raises(ValueError):
+        quantile_estimate(e, "value", [])
+    with pytest.raises(ValueError):
+        quantile_estimate(e, "value", [1.5])
