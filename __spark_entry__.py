@@ -199,6 +199,44 @@ def q_kg_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deequ-style validation report over a deliberately dirtied orders
+    # frame: every 97th custkey nulled (not_null + ref exemption), every
+    # 89th totalprice negated (in_range), every 101st row duplicated
+    # (unique). One aggregation pass for the predicates + one broadcast
+    # anti-join for the foreign key; the oracle recomputes each count
+    # declaratively.
+    from smartlogic_concordance_transformer_spark.datapipe.quality_checks import (
+        in_range,
+        not_null,
+        ref_integrity,
+        run_checks,
+        unique,
+    )
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    dirty = o.select(
+        "o_orderkey",
+        F.when(F.pmod("o_orderkey", 97) == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(F.pmod("o_orderkey", 89) == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    dirty = dirty.unionByName(dirty.filter(F.pmod("o_orderkey", 101) == 0))
+    return run_checks(
+        dirty,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 10**7),
+            unique("o_orderkey"),
+            ref_integrity("o_custkey", c, "c_custkey"),
+        ],
+    )
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the attribution-window join (purchase within 10 min of a click by
     # the same user), run in its static form — the IDENTICAL expression
@@ -1940,6 +1978,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_paragraph": q_pipeline_paragraph,
         "zorder_key": q_zorder_key,
         "stream_interval_join": q_stream_interval_join,
+        "quality_checks": q_quality_checks,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1956,6 +1995,38 @@ def retired_oracle_sql() -> dict[str, str]:
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
         "pipeline_paragraph": _pipeline_oracle(paragraph=True),
+        # each constraint's count recomputed declaratively over the same
+        # dirtied frame
+        "quality_checks": """
+          with d0 as (
+            select o_orderkey,
+                   case when o_orderkey % 97 = 0 then null
+                        else o_custkey end as ck,
+                   case when o_orderkey % 89 = 0 then -o_totalprice
+                        else o_totalprice end as tp
+            from orders),
+          d as (select * from d0
+                union all
+                select * from d0 where o_orderkey % 101 = 0),
+          t as (select count(*) as total from d),
+          v as (
+            select 'not_null' as constraint, 'o_custkey' as "column",
+                   (select count(*) from d where ck is null) as violations
+            union all
+            select 'in_range', 'o_totalprice',
+                   (select count(*) from d
+                    where tp is null or tp < 0 or tp > 10000000)
+            union all
+            select 'unique', 'o_orderkey',
+                   (select count(*) - count(distinct o_orderkey) from d)
+            union all
+            select 'ref_integrity', 'o_custkey',
+                   (select count(*) from d where ck is not null
+                    and ck not in (select c_custkey from customer)))
+          select v.constraint, v."column", t.total, v.violations,
+                 v.violations = 0 as passed
+          from v cross join t
+        """,
         # the declarative time-range join the streaming state-store
         # evaluation must equal
         "stream_interval_join": """

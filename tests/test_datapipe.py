@@ -2202,3 +2202,75 @@ def test_quantile_estimate_within_rank_error(spark):
         quantile_estimate(e, "value", [])
     with pytest.raises(ValueError):
         quantile_estimate(e, "value", [1.5])
+
+
+# --- data-quality constraint suite ---
+
+
+def test_run_checks_semantics(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        ref_integrity,
+        run_checks,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (2, None, 3.0), (4, "zz", 200.0)],
+        "k long, s string, v double",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "rk long")
+    rep = {
+        (r.constraint, r.column): (r.total, r.violations, r.passed)
+        for r in run_checks(
+            df,
+            [
+                not_null("s"),
+                in_range("v", 0, 100),
+                matches("s", "^[a-z]$"),
+                in_set("s", ["a", "b"]),
+                unique("k"),
+                ref_integrity("k", ref, "rk"),
+            ],
+        ).collect()
+    }
+    assert rep == {
+        ("not_null", "s"): (4, 1, False),
+        ("in_range", "v"): (4, 2, False),   # -1.0 and 200.0; nulls count
+        ("matches", "s"): (4, 2, False),    # null and 'zz'
+        ("in_set", "s"): (4, 2, False),
+        ("unique", "k"): (4, 1, False),     # rows beyond first occurrence
+        ("ref_integrity", "k"): (4, 1, False),  # k=4 orphan; nulls exempt
+    }
+
+
+def test_run_checks_clean_frame_passes(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        not_null,
+        run_checks,
+        unique,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    rep = run_checks(df, [not_null("s"), unique("k", "s")]).collect()
+    assert all(r.passed and r.violations == 0 for r in rep)
+    with pytest.raises(ValueError):
+        run_checks(df, [])
+
+
+def test_run_checks_is_single_scan_for_predicates(spark):
+    # every predicate constraint folds into ONE aggregate over one scan:
+    # exactly one read of the source in the plan
+    from smartlogic_concordance_transformer_spark.datapipe import (
+        in_range,
+        not_null,
+        run_checks,
+    )
+
+    df = spark.range(1000).selectExpr("id as k", "id * 2.0 as v")
+    rep = run_checks(df, [not_null("k"), in_range("v", 0, 1e9), not_null("v")])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 1000") == 1, plan
