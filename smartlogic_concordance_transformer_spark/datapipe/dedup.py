@@ -875,3 +875,35 @@ def excise_duplicate_substrings(
         .withColumn(clean_col, folded)
         .drop("_sps")
     )
+
+
+def lsh_collision_prob(jaccard: float, bands: int, rows_per_band: int) -> float:
+    """P[candidate] for a pair at the given Jaccard under (b, r) banding:
+    ``1 - (1 - j^r)^b`` — the S-curve every banded-LSH guarantee in this
+    module quotes. Driver-side math, used to pick and to audit bandings."""
+    return 1.0 - (1.0 - jaccard**rows_per_band) ** bands
+
+
+def choose_bands(num_hashes: int, threshold: float) -> tuple[int, int]:
+    """Pick ``(bands, rows_per_band)`` with ``bands * rows_per_band ==
+    num_hashes`` whose S-curve midpoint ``(1/b)^(1/r)`` sits closest to
+    the target Jaccard ``threshold`` (Mining of Massive Datasets §3.4.3):
+    pairs above the threshold are near-certain candidates, pairs below
+    fall off steeply. Driver-side; feed the result to
+    ``minhash_lsh_candidates(bands=b, rows_per_band=r)``."""
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        if b < 1:
+            continue
+        midpoint = (1.0 / b) ** (1.0 / r)
+        score = abs(midpoint - threshold)
+        if best is None or score < best[0]:
+            best = (score, b, r)
+    return best[1], best[2]

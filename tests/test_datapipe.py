@@ -2274,3 +2274,35 @@ def test_run_checks_is_single_scan_for_predicates(spark):
     rep = run_checks(df, [not_null("k"), in_range("v", 0, 1e9), not_null("v")])
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range (0, 1000") == 1, plan
+
+
+# --- banding selection (S-curve) ---
+
+
+def test_choose_bands_tracks_the_threshold():
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        choose_bands,
+        lsh_collision_prob,
+    )
+
+    # the shipped default (16x4 over 64 hashes) is what a 0.5-0.6-ish
+    # threshold selects; high thresholds push toward more rows per band
+    for n, t in [(64, 0.5), (64, 0.8), (64, 0.9), (128, 0.7), (60, 0.85)]:
+        b, r = choose_bands(n, t)
+        assert b * r == n
+        mid = (1.0 / b) ** (1.0 / r)
+        # no other factorization's midpoint is closer to the target
+        for r2 in range(1, n + 1):
+            if n % r2 == 0:
+                assert abs(mid - t) <= abs((1.0 / (n // r2)) ** (1.0 / r2) - t) + 1e-12
+        # the S-curve separates: well above the threshold is near-certain,
+        # well below falls off
+        assert lsh_collision_prob(min(t + 0.15, 0.99), b, r) > 0.9
+        assert lsh_collision_prob(max(t - 0.3, 0.05), b, r) < 0.5
+    assert choose_bands(64, 0.55) == (16, 4)  # the module default banding
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        choose_bands(1, 0.5)
+    with _pytest.raises(ValueError):
+        choose_bands(64, 1.0)
