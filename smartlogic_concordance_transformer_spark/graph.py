@@ -226,11 +226,23 @@ class GraphFrame:
         joined = self._v.join(comp.withColumnRenamed("node", "id"), "id", "left")
         return joined.withColumn("component", F.coalesce("component", F.col("id")))
 
-    def pageRank(self, resetProbability: float = 0.15, maxIter: int = 10) -> "GraphFrame":
+    def pageRank(
+        self,
+        resetProbability: float = 0.15,
+        maxIter: int = 10,
+        tol: float | None = None,
+    ) -> "GraphFrame":
         """Power iteration: pr'(v) = reset + (1-reset) * sum over in-edges
-        of pr(u)/outDeg(u). Fixed ``maxIter`` rounds (no tol parameter —
-        a convergence test per round costs an extra action at scale)."""
+        of pr(u)/outDeg(u). Fixed ``maxIter`` rounds by default; pass
+        ``tol`` for GraphFrames-parity convergence mode — iterate (up to
+        ``maxIter``, the budget) until ``max |pr' - pr| < tol``. The tol
+        probe is one extra tiny action per round (a max over the rank
+        frame), which is why fixed-round mode stays the default at scale;
+        the probe joins the two rank frames on the already-partitioned
+        ``id`` key, so no new exchange shape appears."""
         alpha = float(resetProbability)
+        if tol is not None and tol <= 0:
+            raise ValueError("tol must be positive")
         # out-degrees joined once, then the edge table is hash-partitioned
         # on src BEFORE checkpointing: localCheckpoint preserves the
         # partitioning, so every iteration's ranks join shuffles only the
@@ -249,7 +261,7 @@ class GraphFrame:
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.sum(F.col("pagerank") / F.col("outDegree")).alias("_mass"))
             )
-            ranks = (
+            new_ranks = (
                 self._v.select("id")
                 .join(contribs, "id", "left")
                 .select(
@@ -261,6 +273,19 @@ class GraphFrame:
                 )
                 .localCheckpoint()
             )
+            if tol is not None:
+                delta = (
+                    new_ranks.join(
+                        ranks.withColumnRenamed("pagerank", "_prev"), "id"
+                    )
+                    .agg(F.max(F.abs(F.col("pagerank") - F.col("_prev"))))
+                    .first()[0]
+                )
+                ranks = new_ranks
+                if delta is not None and delta < tol:
+                    break
+            else:
+                ranks = new_ranks
         return GraphFrame(self._v.join(ranks, "id"), self._e)
 
     def labelPropagation(self, maxIter: int = 5) -> DataFrame:

@@ -257,3 +257,20 @@ def test_pregel_checkpoint_interval_zero_disables(g):
         .run()
     )
     assert out.count() == 7
+
+
+def test_pagerank_tol_converges_to_fixpoint(g):
+    # tol mode must land within tol of the long-run fixed point and
+    # agree with a generous fixed-iteration run; an over-tight budget
+    # still returns (maxIter is the budget, not a failure)
+    ref = {r.id: r.pagerank for r in g.pageRank(maxIter=60).vertices.collect()}
+    got = {r.id: r.pagerank for r in g.pageRank(maxIter=60, tol=1e-9).vertices.collect()}
+    assert set(got) == set(ref)
+    for v, p in ref.items():
+        assert abs(got[v] - p) < 1e-6, (v, got[v], p)
+    budget = {r.id: r.pagerank for r in g.pageRank(maxIter=2, tol=1e-12).vertices.collect()}
+    assert set(budget) == set(ref)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        g.pageRank(tol=0.0)
