@@ -199,6 +199,25 @@ def q_kg_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic TransE-style negative sampling over the kg_cc edge
+    # set: each positive gets 2 corruption entities via the consistent-
+    # hash successor rule (smallest ring hash >= the target, wrapping).
+    # The oracle replays the rule declaratively — a correlated min over
+    # the whole ring, independent of the engine's 2-bucket probe — so
+    # agreement also re-proves the bucketed probe's exactness.
+    from smartlogic_concordance_transformer_spark.datapipe.negatives import (
+        negative_samples,
+    )
+
+    t = _docs(spark, sf_dir).selectExpr(
+        "concat('d', lpad(cast(doc_id as string), 8, '0')) as subj",
+        "'linksTo' as pred",
+        "concat('g', lpad(cast(pmod(doc_id, 50) as string), 4, '0')) as obj",
+    )
+    return negative_samples(t, n_neg=2, bits=4)
+
+
 def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deequ-style validation report over a deliberately dirtied orders
     # frame: every 97th custkey nulled (not_null + ref exemption), every
@@ -1979,6 +1998,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "stream_interval_join": q_stream_interval_join,
         "quality_checks": q_quality_checks,
+        "kg_negatives": q_kg_negatives,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -1995,6 +2015,32 @@ def retired_oracle_sql() -> dict[str, str]:
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
         "pipeline_paragraph": _pipeline_oracle(paragraph=True),
+        # the successor rule replayed as a correlated min over the WHOLE
+        # ring (no bucketing) — agreement re-proves the 2-bucket probe
+        "kg_negatives": """
+          with t as (select 'd' || lpad(cast(doc_id as varchar), 8, '0') as subj,
+                            'linksTo' as pred,
+                            'g' || lpad(cast(doc_id % 50 as varchar), 4, '0') as obj
+                     from documents),
+          e as (select subj as ent from t union select obj from t),
+          r as (select ent,
+                       cast('0x' || substr(md5('neg:e:' || ent), 1, 15) as bigint) as h
+                from e),
+          tg as (select subj, pred, obj, i,
+                        cast('0x' || substr(md5('neg:t:' || subj || chr(31) || pred
+                             || chr(31) || obj || chr(31) || cast(i as varchar)),
+                             1, 15) as bigint) as g
+                 from t cross join (select unnest([1, 2]) as i)),
+          pick as (select subj, pred, obj, i,
+                          coalesce(
+                            (select min({'h': rr.h, 'ent': rr.ent}) from r rr
+                             where rr.h >= tg.g),
+                            (select min({'h': rr.h, 'ent': rr.ent}) from r rr)
+                          ) as pe
+                   from tg)
+          select subj, pred, obj, i, pe.ent as neg
+          from pick where pe.ent <> obj
+        """,
         # each constraint's count recomputed declaratively over the same
         # dirtied frame
         "quality_checks": """

@@ -2306,3 +2306,54 @@ def test_choose_bands_tracks_the_threshold():
         choose_bands(1, 0.5)
     with _pytest.raises(ValueError):
         choose_bands(64, 1.0)
+
+
+# --- KG negative sampling (consistent-hash successor rule) ---
+
+
+def test_negative_samples_matches_python_ring(spark):
+    import hashlib as _hashlib
+
+    from smartlogic_concordance_transformer_spark.datapipe import negative_samples
+
+    rows = [(f"e{i:03d}", "p", f"e{(i * 7 + 1) % 200:03d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r.subj, r.pred, r.obj, r.i): r.neg
+        for r in negative_samples(df, n_neg=2, bits=3).collect()
+    }
+
+    def h60(s, salt):
+        return int(_hashlib.md5(f"{salt}:{s}".encode()).hexdigest()[:15], 16)
+
+    ents = sorted({r[0] for r in rows} | {r[2] for r in rows})
+    ring = sorted((h60(e, "neg:e"), e) for e in ents)
+
+    def pick(g):
+        for h, e in ring:
+            if h >= g:
+                return e
+        return ring[0][1]
+
+    want = {}
+    for s, p, o in rows:
+        for i in (1, 2):
+            n = pick(h60("\x1f".join([s, p, o, str(i)]), "neg:t"))
+            if n != o:  # self-collisions drop, disclosed
+                want[(s, p, o, i)] = n
+    assert got == want
+    assert len(want) < 2 * len(rows), "expected at least one dropped self-collision"
+
+
+def test_negative_samples_rejects_empty_buckets_and_bad_args(spark):
+    from smartlogic_concordance_transformer_spark.datapipe import negative_samples
+
+    df = spark.createDataFrame([("a", "p", "b")], "subj string, pred string, obj string")
+    with pytest.raises(ValueError, match="empty buckets"):
+        negative_samples(df, bits=10)  # 2 entities over 1024 buckets
+    with pytest.raises(ValueError):
+        negative_samples(df, bits=0)
+    with pytest.raises(ValueError):
+        negative_samples(df, n_neg=0)
+    with pytest.raises(ValueError):
+        negative_samples(df, corrupt="pred")

@@ -474,3 +474,20 @@ def test_salted_join_widens_the_shuffle_key(spark):
     import re
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert parts and all("_salt" in p for p in parts), plan
+
+
+def test_negative_samples_probes_buckets_not_cartesian(spark):
+    # the successor lookup must be the 2-bucket equi-join, never a global
+    # sort-window over the ring or an all-pairs product
+    from smartlogic_concordance_transformer_spark.datapipe import negative_samples
+
+    df = spark.range(3000).selectExpr(
+        "concat('s', cast(id as string)) as subj",
+        "'p' as pred",
+        "concat('o', cast(pmod(id * 13, 3000) as string)) as obj",
+    )
+    out = negative_samples(df, n_neg=1, bits=4, check_buckets=False)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
