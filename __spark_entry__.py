@@ -215,7 +215,9 @@ def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'linksTo' as pred",
         "concat('g', lpad(cast(pmod(doc_id, 50) as string), 4, '0')) as obj",
     )
-    return negative_samples(t, n_neg=2, bits=4)
+    # bits auto-sized from the vocabulary (~32 entities/bucket); the
+    # oracle is bits-independent, so the adaptive probe changes only cost
+    return negative_samples(t, n_neg=2)
 
 
 def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,23 +49,26 @@ def negative_samples(
     n_neg: int = 2,
     corrupt: str = "obj",
     entities: DataFrame | None = None,
-    bits: int = 8,
+    bits: int | None = None,
     salt: str = "neg",
     check_buckets: bool = True,
 ) -> DataFrame:
     """(subj, pred, obj, i, neg) — for every positive triple, up to
     ``n_neg`` deterministic corruption entities for the ``corrupt`` slot
     (the trainer substitutes ``neg`` into that slot). ``entities``
-    defaults to the triple set's own subj ∪ obj vocabulary."""
+    defaults to the triple set's own subj ∪ obj vocabulary.
+
+    ``bits=None`` (default) sizes the ring for ~32 entities per bucket
+    from one count of the vocabulary — the RESULT is bits-invariant (the
+    successor rule never mentions buckets), only the probe fan-out
+    changes, so callers can tune freely."""
     if corrupt not in (subj, obj, "subj", "obj"):
         raise ValueError(f"corrupt must be the subj or obj column, got {corrupt!r}")
-    if not 1 <= bits <= 20:
+    if bits is not None and not 1 <= bits <= 20:
         raise ValueError("bits must be in [1, 20]")
     if n_neg < 1:
         raise ValueError("n_neg must be >= 1")
     corrupt_col = subj if corrupt in (subj, "subj") else obj
-    n_buckets = 1 << bits
-    shift = 60 - bits
 
     if entities is None:
         entities = (
@@ -75,6 +78,12 @@ def negative_samples(
         )
     else:
         entities = entities.select(F.col(entities.columns[0]).alias("_ent")).distinct()
+    if bits is None:
+        entities = entities.localCheckpoint()
+        n_ents = entities.count()
+        bits = max(1, min(20, (n_ents // 32).bit_length() - 1 if n_ents >= 64 else 1))
+    n_buckets = 1 << bits
+    shift = 60 - bits
     ring = entities.select(
         "_ent", md5_long60("_ent", f"{salt}:e").alias("_h")
     ).withColumn("_rb", F.shiftright("_h", shift))
