@@ -548,3 +548,20 @@ def test_write_zordered_files_cover_narrow_rectangles(spark, tmp_path):
     assert all(s["x"] <= side // 2 and s["y"] <= side // 2 for s in zs), zs
     # the x-sorted baseline leaves y unprunable in every file
     assert all(s["y"] == side for s in xs), xs
+
+
+def test_orc_and_csv_roundtrip_match_parquet(spark, tmp_path):
+    """Source/sink format parity: the engine treats parquet as primary,
+    but ORC and CSV (header + explicit schema) roundtrip the same rows —
+    the swap-in path for pipelines that land data in other formats."""
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    want = {tuple(r) for r in src.collect()}
+
+    orc_p = str(tmp_path / "orc")
+    src.write.orc(orc_p)
+    assert {tuple(r) for r in spark.read.orc(orc_p).collect()} == want
+
+    csv_p = str(tmp_path / "csv")
+    src.write.option("header", True).csv(csv_p)
+    back = spark.read.schema(src.schema).option("header", True).csv(csv_p)
+    assert {tuple(r) for r in back.collect()} == want
