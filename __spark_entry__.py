@@ -199,6 +199,20 @@ def q_kg_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # click -> view -> purchase funnel within 1 hour of the first click,
+    # greedy earliest-match per user. The oracle is the chained-min
+    # formulation (t2 = min view ts after t1, t3 = min purchase ts after
+    # t2, both within t1 + 1h) — provably the same rule the in-row fold
+    # applies event-by-event.
+    from smartlogic_concordance_transformer_spark.streaming_analytics import (
+        funnel_steps,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return funnel_steps(e, ["click", "view", "purchase"], within="1 hour")
+
+
 def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic TransE-style negative sampling over the kg_cc edge
     # set: each positive gets 2 corruption entities via the consistent-
@@ -2001,6 +2015,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "quality_checks": q_quality_checks,
         "kg_negatives": q_kg_negatives,
+        "events_funnel": q_events_funnel,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -2017,6 +2032,29 @@ def retired_oracle_sql() -> dict[str, str]:
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
         "pipeline_paragraph": _pipeline_oracle(paragraph=True),
+        # chained-min replay of the greedy funnel fold
+        "events_funnel": """
+          with s1 as (select user_id, min(ts) as t1 from events
+                      where event_type = 'click' group by user_id),
+          s2 as (select e.user_id, min(e.ts) as t2
+                 from events e join s1 using (user_id)
+                 where e.event_type = 'view' and e.ts > s1.t1
+                   and e.ts <= s1.t1 + interval 1 hour
+                 group by e.user_id),
+          s3 as (select e.user_id, min(e.ts) as t3
+                 from events e join s2 using (user_id) join s1 using (user_id)
+                 where e.event_type = 'purchase' and e.ts > s2.t2
+                   and e.ts <= s1.t1 + interval 1 hour
+                 group by e.user_id)
+          select s1.user_id,
+                 case when s3.user_id is not null then 3
+                      when s2.user_id is not null then 2
+                      else 1 end as steps_completed,
+                 s1.t1 as t_first
+          from s1
+          left join s2 on s1.user_id = s2.user_id
+          left join s3 on s1.user_id = s3.user_id
+        """,
         # the successor rule replayed as a correlated min over the WHOLE
         # ring (no bucketing) — agreement re-proves the 2-bucket probe
         "kg_negatives": """

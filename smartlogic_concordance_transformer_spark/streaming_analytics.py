@@ -189,3 +189,72 @@ def stream_interval_join(
         & (F.col(f"r.{prefix}{ts_col}") <= hi)
     )
     return lw.alias("l").join(r_ren.alias("r"), cond).drop(f"{prefix}{key}")
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Funnel analysis (the product-analytics staple): per user, how far
+    through the ordered ``steps`` sequence their events progress under
+    greedy earliest-match semantics — step i+1 matches the FIRST event of
+    that type strictly after the step-i match, optionally bounded to
+    ``within`` (an INTERVAL string) of the step-1 timestamp. Returns
+    ``(user, steps_completed, t_first)`` for users who matched step 1;
+    equivalent to the chained-min formulation (t2 = min ts of step-2
+    events after t1, ...), which is what the SQL oracle replays.
+
+    Scale shape: one shuffle (groupBy user); each user's step events sort
+    and fold IN-ROW (``sort_array`` + one ``aggregate`` pass — the doc-
+    rebuild discipline), bounded by a single user's event count, never
+    corpus-sized. Events not in ``steps`` are filtered before the shuffle.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    ev = events.filter(F.col(type_col).isin(steps))
+    per_user = ev.groupBy(user_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")))
+        ).alias("_evs")
+    )
+    bound = F.expr(f"INTERVAL {within}") if within is not None else None
+    step_lits = [F.lit(s) for s in steps]
+
+    def advance(acc, e):
+        # acc: (i, t1, tk) — steps completed, step-1 time, last-step time
+        matches_next = F.lit(False)
+        for idx, s in enumerate(step_lits):
+            matches_next = F.when(acc["i"] == idx, e["y"] == s).otherwise(matches_next)
+        ok = (
+            (acc["i"] < F.lit(len(steps)))
+            & matches_next
+            & ((acc["i"] == 0) | (e["t"] > acc["tk"]))
+        )
+        if bound is not None:
+            ok = ok & ((acc["i"] == 0) | (e["t"] <= acc["t1"] + bound))
+        return F.when(
+            ok,
+            F.struct(
+                (acc["i"] + 1).alias("i"),
+                F.when(acc["i"] == 0, e["t"]).otherwise(acc["t1"]).alias("t1"),
+                e["t"].alias("tk"),
+            ),
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(0).alias("i"),
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("tk"),
+    )
+    folded = per_user.select(
+        user_col, F.aggregate("_evs", init, advance).alias("_f")
+    )
+    return folded.filter(F.col("_f.i") >= 1).select(
+        user_col,
+        F.col("_f.i").alias("steps_completed"),
+        F.col("_f.t1").alias("t_first"),
+    )

@@ -214,3 +214,33 @@ def test_stream_interval_join_streaming_matches_static(spark, tmp_path):
         for r in stream_interval_join(lstat, rstat).collect()
     }
     assert got == want and want, (got, want)
+
+
+def test_funnel_steps_semantics(spark):
+    from smartlogic_concordance_transformer_spark.streaming_analytics import funnel_steps
+
+    base = datetime(2026, 1, 1, 12)
+    rows = [
+        (1, base, "click"), (1, base + timedelta(minutes=5), "view"),
+        (1, base + timedelta(minutes=9), "purchase"),          # full funnel
+        (2, base, "view"), (2, base + timedelta(minutes=1), "click"),  # pre-click view ignored
+        (3, base, "click"), (3, base + timedelta(minutes=2), "view"),
+        (3, base + timedelta(minutes=30), "purchase"),          # outside window
+        (4, base, "view"),                                      # no step 1 -> excluded
+        (5, base, "click"), (5, base, "view"),                  # same-ts: strictly-after rule
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.user_id: (r.steps_completed, r.t_first)
+        for r in funnel_steps(df, ["click", "view", "purchase"], within="10 minutes").collect()
+    }
+    assert got == {
+        1: (3, base),
+        2: (1, base + timedelta(minutes=1)),
+        3: (2, base),
+        5: (1, base),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_steps(df, ["click"])
