@@ -199,6 +199,34 @@ def q_kg_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weighted shortest paths from n0 over the 60-node two-generator
+    # graph, run in the oracle-replayable FIXED-ROUNDS form (8 Bellman-
+    # Ford relaxations — an 8-round unroll is polynomial in SQL where
+    # true-shortest recursion on a cyclic graph is not; nodes the 8
+    # rounds haven't reached stay null on both sides). The converged
+    # form is pinned against a python Dijkstra in tests.
+    from smartlogic_concordance_transformer_spark.graph import GraphFrame
+
+    d = _docs(spark, sf_dir)
+    e = d.selectExpr(
+        "concat('n', cast(pmod(doc_id, 60) as string)) as src",
+        "concat('n', cast(pmod(doc_id + 1, 60) as string)) as dst",
+        "1 + pmod(doc_id, 5) as weight",
+    ).unionByName(
+        d.selectExpr(
+            "concat('n', cast(pmod(doc_id, 60) as string)) as src",
+            "concat('n', cast(pmod(doc_id * 7 + 1, 60) as string)) as dst",
+            "3 + pmod(doc_id, 4) as weight",
+        )
+    )
+    v = e.selectExpr("src as id").union(e.selectExpr("dst as id")).distinct()
+    out = GraphFrame(v, e).shortestPathsWeighted(["n0"], rounds=8)
+    # -1 sentinel for not-yet-reached nodes: the driver's multiset compare
+    # sorts row tuples, and mixed null/int sort keys don't order
+    return out.select("id", F.coalesce("dist", F.lit(-1)).alias("dist"))
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # click -> view -> purchase funnel within 1 hour of the first click,
     # greedy earliest-match per user. The oracle is the chained-min
@@ -2016,6 +2044,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_checks": q_quality_checks,
         "kg_negatives": q_kg_negatives,
         "events_funnel": q_events_funnel,
+        "graph_sssp": q_graph_sssp,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -2027,11 +2056,48 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _sssp_oracle(rounds: int = 8) -> str:
+    """Unrolled Bellman-Ford over the q_graph_sssp edge set: d0 = {n0: 0};
+    d_{k+1}(v) = min(d_k(v), min over edges (d_k(src) + w)). Polynomial
+    (one group-by min per round) where a true-shortest recursive CTE on
+    this cyclic graph would not terminate."""
+    ctes = [
+        """e as (
+        select 'n' || cast(doc_id % 60 as varchar) as src,
+               'n' || cast((doc_id + 1) % 60 as varchar) as dst,
+               1 + doc_id % 5 as w
+        from documents
+        union all
+        select 'n' || cast(doc_id % 60 as varchar),
+               'n' || cast((doc_id * 7 + 1) % 60 as varchar),
+               3 + doc_id % 4
+        from documents)""",
+        "v as (select src as id from e union select dst from e)",
+        "d0 as (select 'n0' as id, cast(0 as bigint) as dist)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""d{k + 1} as (
+          select id, min(dist) as dist from (
+            select id, dist from d{k}
+            union all
+            select e.dst as id, d.dist + e.w as dist
+            from e join d{k} d on e.src = d.id)
+          group by id)"""
+        )
+    return (
+        "with " + ",\n      ".join(ctes)
+        + f"\n      select v.id, coalesce(d.dist, -1) as dist"
+        + f" from v left join d{rounds} d using (id)"
+    )
+
+
 def retired_oracle_sql() -> dict[str, str]:
     oracles = {
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
         "pipeline_paragraph": _pipeline_oracle(paragraph=True),
+        "graph_sssp": _sssp_oracle(rounds=8),
         # chained-min replay of the greedy funnel fold
         "events_funnel": """
           with s1 as (select user_id, min(ts) as t1 from events

@@ -370,6 +370,62 @@ class GraphFrame:
             F.coalesce("distances", F.map_from_arrays(F.array(), F.array())),
         )
 
+    def shortestPathsWeighted(
+        self,
+        sources: list,
+        weight: str = "weight",
+        maxIter: int | None = None,
+        rounds: int | None = None,
+    ) -> DataFrame:
+        """Single-source-set weighted shortest paths (Bellman-Ford
+        relaxation): ``(id, dist)`` = min total ``weight`` along directed
+        edges from ANY source; unreachable vertices get null. Distributed
+        shape per round = one edges⋈dists join + groupBy-min — min is
+        map-side combinable, so a hub's relaxations partial-aggregate
+        before the shuffle; lineage truncated per round (the cc.py
+        discipline). Converges in at most |V|-1 rounds for nonnegative
+        weights; ``maxIter`` (default 30) is the budget with a
+        fingerprint early-stop, or pass ``rounds`` for EXACTLY that many
+        relaxations (the oracle-replayable fixed form — a k-round unroll
+        in SQL is polynomial where true-shortest recursion is not)."""
+        if rounds is not None and maxIter is not None:
+            raise ValueError("pass maxIter (converge) or rounds (fixed), not both")
+        budget = rounds if rounds is not None else (maxIter or 30)
+        dists = (
+            self._v.select("id")
+            .filter(F.col("id").isin(sources))
+            .select("id", F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        fwd = self._e.select("src", "dst", F.col(weight).alias("_w"))
+
+        def _fp(d: DataFrame) -> tuple:
+            row = d.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64("id", "dist").cast("decimal(38,0)")), F.lit(0)
+                ).alias("h"),
+            ).first()
+            return int(row["n"]), int(row["h"])
+
+        prev_fp = _fp(dists) if rounds is None else None
+        for _ in range(budget):
+            cand = fwd.join(dists.withColumnRenamed("id", "src"), "src").select(
+                F.col("dst").alias("id"), (F.col("dist") + F.col("_w")).alias("dist")
+            )
+            dists = (
+                dists.unionByName(cand)
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint()
+            )
+            if rounds is None:
+                fp = _fp(dists)
+                if fp == prev_fp:
+                    break
+                prev_fp = fp
+        return self._v.join(dists, "id", "left")
+
     def filterVertices(self, condition: Column | str) -> "GraphFrame":
         """Subgraph induced by vertices matching ``condition``: edges keep
         only endpoints that survive (two semi-joins, broadcast-able)."""

@@ -274,3 +274,49 @@ def test_pagerank_tol_converges_to_fixpoint(g):
 
     with _pytest.raises(ValueError):
         g.pageRank(tol=0.0)
+
+
+def test_weighted_shortest_paths_match_dijkstra(spark):
+    import heapq
+    import random as _random
+
+    from smartlogic_concordance_transformer_spark.graph import GraphFrame
+
+    rng = _random.Random(21)
+    n = 40
+    edges = []
+    for _ in range(150):
+        s, d = rng.randrange(n), rng.randrange(n)
+        if s != d:
+            edges.append((f"n{s:02d}", f"n{d:02d}", rng.randrange(1, 20)))
+    v = spark.createDataFrame([(f"n{i:02d}",) for i in range(n)], "id string")
+    e = spark.createDataFrame(edges, "src string, dst string, weight long")
+
+    # python Dijkstra from the same source set
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {"n00": 0, "n01": 0}
+    pq = [(0, "n00"), (0, "n01")]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for vtx, w in adj.get(u, []):
+            nd = du + w
+            if nd < dist.get(vtx, float("inf")):
+                dist[vtx] = nd
+                heapq.heappush(pq, (nd, vtx))
+
+    got = {
+        r.id: r.dist
+        for r in GraphFrame(v, e).shortestPathsWeighted(["n00", "n01"]).collect()
+    }
+    for i in range(n):
+        vid = f"n{i:02d}"
+        assert got[vid] == dist.get(vid), (vid, got[vid], dist.get(vid))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        GraphFrame(v, e).shortestPathsWeighted(["n00"], maxIter=5, rounds=5)
