@@ -227,6 +227,35 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.coalesce("dist", F.lit(-1)).alias("dist"))
 
 
+_BM25_QUERY = ["hash", "join", "spark"]
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-5 TF-IDF keywords per document with a [min_df, max_df] band-
+    # pass — the keyword-metadata operator a curation pipeline routes
+    # domains with. One corpus-sized (doc, token) count; the IDF table
+    # is vocabulary-sized and joined back; the top-k window partitions
+    # by document (bounded by per-doc distinct vocabulary).
+    from smartlogic_concordance_transformer_spark.datapipe.ranking import (
+        tfidf_terms,
+    )
+
+    return tfidf_terms(
+        _spread(spark, _docs(spark, sf_dir)), top_k=5, min_df=2, max_df_frac=0.8
+    )
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Okapi BM25 scores against a fixed 3-token query — targeted subset
+    # mining over the corpus. The query filter lands before the per-term
+    # aggregation; document lengths reuse the same single token explode.
+    from smartlogic_concordance_transformer_spark.datapipe.ranking import (
+        bm25_scores,
+    )
+
+    return bm25_scores(_spread(spark, _docs(spark, sf_dir)), _BM25_QUERY)
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # click -> view -> purchase funnel within 1 hour of the first click,
     # greedy earliest-match per user. The oracle is the chained-min
@@ -2045,6 +2074,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": q_kg_negatives,
         "events_funnel": q_events_funnel,
         "graph_sssp": q_graph_sssp,
+        "text_tfidf": q_text_tfidf,
+        "text_bm25": q_text_bm25,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -2092,8 +2123,79 @@ def _sssp_oracle(rounds: int = 8) -> str:
     )
 
 
+_TOKENIZE_CTE = """t as (
+        select doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as tk
+        from documents),
+      w as (select doc_id, unnest(tk) as token from t),
+      w2 as (select doc_id, token from w where token <> '')"""
+
+
+def _tfidf_oracle(top_k: int = 5, min_df: int = 2, max_df_frac: float = 0.8) -> str:
+    """Independent replay of ``tfidf_terms``: same band-pass bounds,
+    ``round(ln(N/df), 9)`` IDF, ``round(tf * idf, 6)`` score, and the
+    identical (score desc, token asc) total order for the top-k cut."""
+    return f"""
+      with {_TOKENIZE_CTE},
+      tf as (select doc_id, token, count(*) as tf from w2 group by 1, 2),
+      nd as (select count(*) as n from documents),
+      idf as (
+        select token, round(ln(cast(n as double) / cast(df_t as double)), 9) as idf
+        from (select token, count(*) as df_t from tf group by 1) d
+        cross join nd
+        where df_t >= {int(min_df)}
+          and cast(df_t as double) <= floor({repr(float(max_df_frac))} * cast(n as double))),
+      sc as (
+        select tf.doc_id, tf.token, tf.tf,
+               round(cast(tf.tf as double) * idf.idf, 6) as score
+        from tf join idf using (token)),
+      r as (
+        select doc_id, token, tf, score,
+               row_number() over (partition by doc_id
+                                  order by score desc, token asc) as "rank"
+        from sc)
+      select doc_id, token, tf, score, "rank" from r where "rank" <= {int(top_k)}
+    """
+
+
+def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """Independent replay of ``bm25_scores``: identical operation order,
+    with the derived double constants (k1+1, 1-b) embedded via repr so
+    both engines mix the exact literals the Spark plan folds."""
+    tlist = ", ".join(f"'{t}'" for t in sorted({t.lower() for t in terms}))
+    k1p1, onemb = repr(float(k1) + 1.0), repr(1.0 - float(b))
+    k1r, br = repr(float(k1)), repr(float(b))
+    return f"""
+      with {_TOKENIZE_CTE},
+      dl as (select doc_id, count(*) as dl from w2 group by 1),
+      tf as (select doc_id, token, count(*) as tf from w2
+             where token in ({tlist}) group by 1, 2),
+      st as (select (select count(*) from documents) as n,
+                    (select sum(dl) from dl) as sum_dl),
+      idf as (
+        select token,
+               round(ln(1.0 + (cast(n as double) - cast(df_t as double) + 0.5)
+                              / (cast(df_t as double) + 0.5)), 9) as idf,
+               cast(sum_dl as double) / cast(n as double) as avgdl
+        from (select token, count(*) as df_t from tf group by 1) d
+        cross join st),
+      p as (
+        select tf.doc_id,
+               round(idf.idf * (cast(tf.tf as double) * {k1p1})
+                     / (cast(tf.tf as double)
+                        + {k1r} * ({onemb} + {br} * (cast(dl.dl as double) / idf.avgdl))),
+                     9) as part
+        from tf join idf using (token) join dl using (doc_id))
+      select doc_id, cast(count(*) as bigint) as n_matched,
+             round(cast(sum(cast(part as decimal(28,9))) as double), 6) as bm25
+      from p group by doc_id
+    """
+
+
 def retired_oracle_sql() -> dict[str, str]:
     oracles = {
+        "text_tfidf": _tfidf_oracle(top_k=5, min_df=2, max_df_frac=0.8),
+        "text_bm25": _bm25_oracle(_BM25_QUERY),
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
         "pipeline_paragraph": _pipeline_oracle(paragraph=True),

@@ -1,0 +1,181 @@
+"""Corpus ranking operators: TF-IDF keyword extraction and BM25 scoring.
+
+A pretraining-data pipeline needs relevance machinery in two places:
+per-document salient terms (keyword metadata for curation / domain
+routing) and query-against-corpus scoring (targeted subset mining, e.g.
+"pull the documents that look like math"). Both are classic IR
+statistics (Sparck Jones 1972; Robertson et al., TREC-3 BM25) built
+here from the same ``ws_tokens`` normalization every other text
+operator shares, so vocabularies line up across the engine.
+
+Scale contract (both operators):
+* term-frequency table = one explode + one map-side-combinable
+  ``groupBy(key, token)`` count — the only corpus-sized shuffle;
+* document-frequency / IDF table is VOCABULARY-sized, derived from the
+  tf table (never a second corpus scan) and hash-joined back (AQE
+  broadcasts it when small);
+* corpus totals (N docs, average length) are a one-row aggregate
+  cross-joined in — no driver collect, the plan stays fully lazy;
+* the per-document top-k window partitions by document key, bounded by
+  per-document DISTINCT vocabulary, not corpus size.
+
+Cross-engine float discipline (the ``ngram_perplexity`` rules): counts
+are exact integers; ``ln``/division results round to 9 dp before any
+reduce; per-document sums run in decimal(28,9) so reduce order cannot
+perturb totals; final scores round to 6 dp. Derived double constants
+(k1+1, 1-b) are computed ONCE in Python and embedded via ``repr`` in
+the oracle so both engines mix identical literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import ws_tokens
+
+
+def _tf(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    return (
+        df.select(F.col(key_col), F.explode(ws_tokens(c)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(key_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    top_k: int = 5,
+    min_df: int = 2,
+    max_df_frac: float = 0.8,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document:
+    ``score = tf * round(ln(N / df), 9)`` over tokens whose document
+    frequency lies in ``[min_df, floor(max_df_frac * N)]`` (the classic
+    rare-noise / stopword band-pass). Returns
+    (key_col, token, tf, score, rank) with rank 1..top_k ordered by
+    (score desc, token asc) — a total order, so the cut is
+    deterministic across engines and partitionings.
+    """
+    tf = _tf(df, text_col, key_col)
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df_t") >= F.lit(int(min_df)))
+            & (
+                F.col("df_t").cast("double")
+                <= F.floor(F.lit(float(max_df_frac)) * F.col("n").cast("double"))
+            )
+        )
+        .select(
+            "token",
+            "df_t",
+            F.round(
+                F.log(F.col("n").cast("double") / F.col("df_t").cast("double")), 9
+            ).alias("idf"),
+        )
+    )
+    scored = tf.join(dfreq, "token").select(
+        key_col,
+        "token",
+        "tf",
+        F.round(F.col("tf").cast("double") * F.col("idf"), 6).alias("score"),
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(top_k)))
+        .select(key_col, "token", "tf", "score", "rank")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query: list[str],
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 document scores for a fixed token query:
+    per matched term,
+    ``idf = round(ln(1 + (N - df + 0.5) / (df + 0.5)), 9)``
+    ``part = round(idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl / avgdl))), 9)``
+    summed per document in decimal(28,9), final round to 6 dp. Returns
+    (key_col, n_matched, bm25) for documents matching >= 1 query token.
+
+    The query is a tiny Python list: the token filter lands BEFORE the
+    (key, token) aggregation, so the per-term shuffle carries only
+    query-token rows; document length and corpus stats still need the
+    full token stream, which is the same single explode (one pass,
+    two aggregations). At 100 TB the dl table is the corpus-row-count
+    frame and the scored frame is |query|-bounded per document.
+    """
+    terms = sorted({t.lower() for t in query})
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = (
+        df.select(F.col(key_col), F.explode(ws_tokens(c)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    dl = toks.groupBy(key_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy(key_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = df.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        dl.agg(F.sum("dl").alias("sum_dl"))
+    )
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n").cast("double") - F.col("df_t").cast("double") + F.lit(0.5))
+                    / (F.col("df_t").cast("double") + F.lit(0.5))
+                ),
+                9,
+            ).alias("idf"),
+            (F.col("sum_dl").cast("double") / F.col("n").cast("double")).alias(
+                "avgdl"
+            ),
+        )
+    )
+    k1p1 = float(k1) + 1.0
+    one_minus_b = 1.0 - float(b)
+    part = F.round(
+        F.col("idf")
+        * (F.col("tf").cast("double") * F.lit(k1p1))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(float(k1))
+            * (
+                F.lit(one_minus_b)
+                + F.lit(float(b)) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        tf.join(dfreq, "token")
+        .join(dl, key_col)
+        .select(F.col(key_col), F.col("token"), part.alias("part"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.sum("part").cast("double"), 6).alias("bm25"),
+        )
+    )
