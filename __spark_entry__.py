@@ -256,6 +256,62 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(_spread(spark, _docs(spark, sf_dir)), _BM25_QUERY)
 
 
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # windowed co-occurrence + PMI, the word2vec/GloVe preprocessing
+    # statistic: pairs built in-row from the token array (no position
+    # self-join), two map-side-combinable counts, single-ln float
+    # discipline.
+    from smartlogic_concordance_transformer_spark.datapipe.ranking import (
+        cooccurrence_pmi,
+    )
+
+    return cooccurrence_pmi(
+        _spread(spark, _docs(spark, sf_dir)), window=4, min_count=5
+    )
+
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-order Markov transition matrix over per-user event streams:
+    # lead window per user (bounded by one user's history), counts
+    # map-side-combinable, totals joined back — no second window.
+    from smartlogic_concordance_transformer_spark.streaming_analytics import (
+        event_transitions,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return event_transitions(e)
+
+
+def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # snapshot diff of two KG triple materializations (the audit a
+    # nightly graph rebuild publishes): v2 removes doc_id%17==3, retargets
+    # doc_id%13==5 (of the survivors) and adds a _new entity per
+    # doc_id%19==2; one full-outer join on the triple key.
+    from smartlogic_concordance_transformer_spark.io_tables import snapshot_diff
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    base = d.selectExpr(
+        "doc_id",
+        "concat('d', doc_id) as subj",
+        "'linksTo' as pred",
+        "concat('g', pmod(doc_id, 50)) as obj",
+    )
+    v1 = base.select("subj", "pred", "obj")
+    v2 = base.filter("pmod(doc_id, 17) != 3").selectExpr(
+        "subj",
+        "pred",
+        "case when pmod(doc_id, 13) = 5 then concat('g', pmod(doc_id + 1, 50)) "
+        "else obj end as obj",
+    ).unionByName(
+        d.filter("pmod(doc_id, 19) = 2").selectExpr(
+            "concat('d', doc_id, '_new') as subj",
+            "'linksTo' as pred",
+            "concat('g', pmod(doc_id, 50)) as obj",
+        )
+    )
+    return snapshot_diff(v1, v2, keys=["subj", "pred"])
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # click -> view -> purchase funnel within 1 hour of the first click,
     # greedy earliest-match per user. The oracle is the chained-min
@@ -2076,6 +2132,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "text_tfidf": q_text_tfidf,
         "text_bm25": q_text_bm25,
+        "text_pmi": q_text_pmi,
+        "events_transitions": q_events_transitions,
+        "kg_diff": q_kg_diff,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -2196,6 +2255,76 @@ def retired_oracle_sql() -> dict[str, str]:
     oracles = {
         "text_tfidf": _tfidf_oracle(top_k=5, min_df=2, max_df_frac=0.8),
         "text_bm25": _bm25_oracle(_BM25_QUERY),
+        # PMI: same unordered-pair enumeration via a position × distance
+        # product, single-ln + round-9 over an exactly-rounded ratio
+        "text_pmi": f"""
+          with {_TOKENIZE_CTE},
+          g as (select doc_id, tk, unnest(range(len(tk))) as i from t),
+          pr as (
+            select least(g.tk[i + 1], g.tk[i + d + 1]) as a,
+                   greatest(g.tk[i + 1], g.tk[i + d + 1]) as b
+            from g cross join (select unnest(range(1, 5)) as d) ds
+            where i + d < len(tk)),
+          pa as (select a, b, count(*) as co from pr where a <> '' group by 1, 2),
+          u as (select token as w, count(*) as cu from w2 group by 1),
+          tot as (select (select sum(cu) from u) as n,
+                         (select sum(co) from pa) as t),
+          out as (
+            select pa.a, pa.b, pa.co,
+                   round(ln((cast(co as double) / cast(t as double))
+                            / ((cast(ua.cu as double) / cast(n as double))
+                               * (cast(ub.cu as double) / cast(n as double)))), 9) as pmi
+            from pa
+            join u ua on pa.a = ua.w
+            join u ub on pa.b = ub.w
+            cross join tot
+            where pa.co >= 5)
+          select a, b, co, pmi from out
+        """,
+        # lead-window replay with the same (ts, event_id) total order
+        "events_transitions": """
+          with s as (
+            select user_id, event_type,
+                   lead(event_type) over (partition by user_id
+                                          order by ts asc, event_id asc) as to_type
+            from events),
+          p as (select event_type as from_type, to_type, count(*) as n
+                from s where to_type is not null group by 1, 2),
+          t as (select from_type, sum(n) as tot from p group by 1)
+          select p.from_type, p.to_type, p.n,
+                 round(cast(p.n as double) / cast(t.tot as double), 6) as prob
+          from p join t using (from_type)
+        """,
+        # full-outer replay of the snapshot compare with the same planted
+        # removed/changed/added families
+        "kg_diff": """
+          with base as (
+            select doc_id, 'd' || cast(doc_id as varchar) as subj,
+                   'linksTo' as pred,
+                   'g' || cast(doc_id % 50 as varchar) as obj
+            from documents),
+          v1 as (select subj, pred, obj from base),
+          v2 as (
+            select subj, pred,
+                   case when doc_id % 13 = 5
+                        then 'g' || cast((doc_id + 1) % 50 as varchar)
+                        else obj end as obj
+            from base where doc_id % 17 != 3
+            union all
+            select 'd' || cast(doc_id as varchar) || '_new', 'linksTo',
+                   'g' || cast(doc_id % 50 as varchar)
+            from documents where doc_id % 19 = 2)
+          select coalesce(v1.subj, v2.subj) as subj,
+                 coalesce(v1.pred, v2.pred) as pred,
+                 case when v1.subj is null then 'added'
+                      when v2.subj is null then 'removed'
+                      else 'changed' end as change,
+                 v1.obj as old_obj, v2.obj as new_obj
+          from v1 full outer join v2
+            on v1.subj = v2.subj and v1.pred = v2.pred
+          where v1.subj is null or v2.subj is null
+             or v1.obj is distinct from v2.obj
+        """,
         "pipeline_substring": _pipeline_oracle(substring=True),
         "pipeline_classifier": _pipeline_oracle(classifier=True),
         "pipeline_paragraph": _pipeline_oracle(paragraph=True),

@@ -98,6 +98,83 @@ def tfidf_terms(
     )
 
 
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    window: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Windowed token co-occurrence counts with pointwise mutual
+    information — the word2vec/GloVe preprocessing statistic (Church &
+    Hanks 1990): every UNORDERED token pair within ``window`` positions
+    counts once per occurrence;
+    ``pmi = round(ln( (co/T) / ((c_a/N) * (c_b/N)) ), 9)`` with T total
+    pair occurrences and N total token occurrences. Returns
+    (a, b, co, pmi) for pairs with ``co >= min_count``, a <= b.
+
+    The pair stream is built IN-ROW from the materialized token array
+    (one explode of per-position window slices — no self-join on
+    position, which at 100 TB would shuffle the token stream twice and
+    join corpus-sized frames). The only corpus-sized shuffles are the
+    two map-side-combinable counts (pairs, unigrams); unigram and total
+    tables are vocabulary-/scalar-sized and joined back. The ratio is
+    division/multiplication only (exactly rounded IEEE) with a single
+    ``ln`` rounded to 9 dp, so both engines agree bit-for-bit.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = df.select(ws_tokens(c).alias("_toks"))
+    # slice from the materialized column, not the tokenizer expression —
+    # referencing ws_tokens() inside the lambda would re-evaluate it per
+    # element (the O(n^2) trap ngram_perplexity documents)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_toks"),
+            lambda w, i: F.transform(
+                F.slice(F.col("_toks"), i + F.lit(2), F.lit(int(window))),
+                lambda v: F.struct(
+                    F.least(w, v).alias("a"), F.greatest(w, v).alias("b")
+                ),
+            ),
+        )
+    )
+    # T is the total over ALL pair occurrences (the probability space),
+    # not just the frequent ones — count first, filter for output only;
+    # both the totals aggregate and the output consume the count, so cut
+    # its lineage (one pair build, not two)
+    pairs_all = (
+        toks.select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b")
+        .filter(F.col("a") != "")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = pairs_all.filter(F.col("co") >= F.lit(int(min_count)))
+    uni = (
+        df.select(F.explode(ws_tokens(c)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=False)  # consumed twice (totals + join)
+    )
+    totals = F.broadcast(
+        uni.agg(F.sum("cu").alias("n")).crossJoin(
+            pairs_all.agg(F.sum("co").alias("t"))
+        )
+    )
+    x = (F.col("co").cast("double") / F.col("t").cast("double")) / (
+        (F.col("ca").cast("double") / F.col("n").cast("double"))
+        * (F.col("cb").cast("double") / F.col("n").cast("double"))
+    )
+    return (
+        pairs.join(uni.select(F.col("w").alias("a"), F.col("cu").alias("ca")), "a")
+        .join(uni.select(F.col("w").alias("b"), F.col("cu").alias("cb")), "b")
+        .crossJoin(totals)
+        .select("a", "b", "co", F.round(F.log(x), 9).alias("pmi"))
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query: list[str],

@@ -597,3 +597,62 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Diff two snapshots of a keyed table (two KG triple materializations,
+    two curation outputs): returns one row per key whose state changed,
+    with ``change`` in ('added', 'removed', 'changed'), old values under
+    ``old_<col>`` and new values under ``new_<col>``. Identical rows drop
+    out. Both frames must share a schema; keys must be unique per frame
+    (violations surface as spurious 'changed' rows — callers with multiset
+    semantics should pre-aggregate).
+
+    Plan: ONE full-outer sort-merge join on the key columns — the scalable
+    shape for a snapshot compare (hash-diffing via anti-joins would scan
+    both sides twice). When both snapshots were written with
+    ``write_bucketed`` on the same keys the join needs no exchange at all.
+    Value comparison is null-safe (``<=>``), so a value flipping to/from
+    NULL counts as changed.
+    """
+    if sorted(old.columns) != sorted(new.columns):
+        raise ValueError(
+            f"schema mismatch: {sorted(old.columns)} vs {sorted(new.columns)}"
+        )
+    missing = [k for k in keys if k not in old.columns]
+    if missing:
+        raise ValueError(f"key columns not in frames: {missing}")
+    vals = [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in vals],
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in vals],
+    )
+    j = o.join(n, keys, "full_outer")
+    same = F.lit(True)
+    for c in vals:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *keys,
+            "change",
+            *[f"old_{c}" for c in vals],
+            *[f"new_{c}" for c in vals],
+        )
+    )

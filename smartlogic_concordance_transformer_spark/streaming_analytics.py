@@ -258,3 +258,56 @@ def funnel_steps(
         F.col("_f.i").alias("steps_completed"),
         F.col("_f.t1").alias("t_first"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every consecutive event pair within a user's
+    (ts, tiebreak)-ordered history, count (from_type, to_type) and the
+    row-conditional probability
+    ``p = round(n / sum(n) over from_type, 6)``.
+
+    The successor lookup is a ``lead`` window per user — each task holds
+    ONE user's events, bounded by per-user history, never corpus size
+    (the funnel/doc-rebuild discipline). Transition counts are a
+    map-side-combinable groupBy over the (from, to) pair stream; the
+    per-from_type totals are a STATE-COUNT-sized aggregate joined back
+    (AQE-broadcastable), not a second window. n/total is one exact IEEE
+    division so both engines emit identical doubles.
+
+    ``tiebreak_col`` must make (key, ts, tiebreak) unique or the lead
+    order — hence the counts — would be nondeterministic.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        events.select(key_col, ts_col, tiebreak_col, type_col)
+        .withColumn("_to", F.lead(type_col).over(w))
+        .filter(F.col("_to").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"), F.col("_to").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # consumed twice (totals + output)
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("prob"),
+        )
+    )

@@ -2444,3 +2444,73 @@ def test_bm25_scores_matches_python(spark):
         want[d] = (len(tf), round(float(total), 6))
     assert got == want
     assert 3 not in got, "doc with no query terms must drop out"
+
+
+def test_cooccurrence_pmi_matches_python(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.ranking import (
+        cooccurrence_pmi,
+    )
+
+    corpus = [
+        (1, "a b c a b"),
+        (2, "b c d"),
+        (3, "a a a b"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {(r.a, r.b): (r.co, r.pmi) for r in
+           cooccurrence_pmi(df, window=2, min_count=2).collect()}
+
+    import math
+    from collections import Counter
+
+    toks = {d: (t or "").lower().split() for d, t in corpus}
+    pairs = Counter()
+    uni = Counter()
+    for ws in toks.values():
+        uni.update(ws)
+        for i in range(len(ws)):
+            for j in range(i + 1, min(i + 2, len(ws) - 1) + 1):
+                a, b = sorted((ws[i], ws[j]))
+                pairs[(a, b)] += 1
+    n = sum(uni.values())
+    t = sum(pairs.values())
+    want = {}
+    for (a, b), co in pairs.items():
+        if co < 2:
+            continue
+        x = (co / t) / ((uni[a] / n) * (uni[b] / n))
+        want[(a, b)] = (co, round(math.log(x), 9))
+    assert got == want
+    assert all(a <= b for a, b in got), "pairs must be canonically ordered"
+
+
+def test_snapshot_diff_semantics(spark):
+    from smartlogic_concordance_transformer_spark.io_tables import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s2", "p", "o2"), ("s3", "p", None), ("s4", "p", "o4")],
+        "subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [("s1", "p", "o1"),        # unchanged -> drops out
+         ("s2", "p", "oX"),        # changed
+         ("s3", "p", "o3"),        # null -> value = changed (null-safe)
+         ("s5", "p", "o5")],       # added; s4 removed
+        "subj string, pred string, obj string",
+    )
+    got = {r.subj: (r.change, r.old_obj, r.new_obj)
+           for r in snapshot_diff(old, new, keys=["subj", "pred"]).collect()}
+    assert got == {
+        "s2": ("changed", "o2", "oX"),
+        "s3": ("changed", None, "o3"),
+        "s4": ("removed", "o4", None),
+        "s5": ("added", None, "o5"),
+    }
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_diff(old, new.withColumnRenamed("obj", "val"), keys=["subj"])
+    with _pytest.raises(ValueError, match="key columns"):
+        snapshot_diff(old, new, keys=["nope"])

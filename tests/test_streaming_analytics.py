@@ -244,3 +244,32 @@ def test_funnel_steps_semantics(spark):
 
     with _pytest.raises(ValueError):
         funnel_steps(df, ["click"])
+
+
+def test_event_transitions_golden(spark):
+    from smartlogic_concordance_transformer_spark.streaming_analytics import (
+        event_transitions,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: click -> view -> view -> purchase
+        (1, t0, 1, "click"), (1, t0 + dt.timedelta(minutes=1), 2, "view"),
+        (1, t0 + dt.timedelta(minutes=2), 3, "view"),
+        (1, t0 + dt.timedelta(minutes=3), 4, "purchase"),
+        # user 2: same-timestamp tie broken by event_id: click(5) then view(6)
+        (2, t0, 5, "click"), (2, t0, 6, "view"),
+        # user 3: single event -> no transitions
+        (3, t0, 7, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {(r.from_type, r.to_type): (r.n, r.prob)
+           for r in event_transitions(df).collect()}
+    assert got == {
+        ("click", "view"): (2, 1.0),
+        ("view", "view"): (1, 0.5),
+        ("view", "purchase"): (1, 0.5),
+    }
