@@ -312,6 +312,67 @@ def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(v1, v2, keys=["subj", "pred"])
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-core peel in the fixed-rounds oracle-replayable form, over a
+    # degree-heterogeneous graph: a 500-node binary-tree fringe (leaves
+    # unravel one level per round — internal nodes have degree 3 until
+    # their children peel) + a 20-node offset-ring core (degree 6,
+    # survives) + one bridge. 4 rounds leave a provably partial state
+    # (below-k survivors), exercising the fixed-mode semantics; the
+    # converge mode is pinned against a python peeler in tests.
+    from smartlogic_concordance_transformer_spark.graph import GraphFrame
+
+    d = _docs(spark, sf_dir)
+    tree = d.filter("pmod(doc_id, 500) > 0").selectExpr(
+        "concat('f', cast(pmod(doc_id, 500) as string)) as src",
+        "concat('f', cast(pmod(doc_id, 500) div 2 as string)) as dst",
+    )
+    ring = d.selectExpr(
+        "concat('c', cast(pmod(doc_id, 20) as string)) as src",
+        "concat('c', cast(pmod(doc_id + 1, 20) as string)) as dst",
+    ).unionByName(
+        d.selectExpr(
+            "concat('c', cast(pmod(doc_id, 20) as string)) as src",
+            "concat('c', cast(pmod(doc_id + 2, 20) as string)) as dst",
+        )
+    ).unionByName(
+        d.selectExpr(
+            "concat('c', cast(pmod(doc_id, 20) as string)) as src",
+            "concat('c', cast(pmod(doc_id + 3, 20) as string)) as dst",
+        )
+    )
+    bridge = spark.createDataFrame([("c0", "f0")], "src string, dst string")
+    e = tree.unionByName(ring).unionByName(bridge)
+    v = e.selectExpr("src as id").union(e.selectExpr("dst as id")).distinct()
+    return GraphFrame(v, e).kCore(k=3, rounds=4)
+
+
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-user daily grid with gap fill: empty days appear with n=0 and
+    # the last observed daily total forward-filled across the gap.
+    from smartlogic_concordance_transformer_spark.datapipe.timeseries import (
+        resample_gapfill,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return resample_gapfill(e, unit="day")
+
+
+def q_text_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inverted index with the stopword band-pass applied BEFORE the
+    # posting-list aggregation (the row-size bound), postings sorted.
+    from smartlogic_concordance_transformer_spark.datapipe.ranking import (
+        inverted_index,
+    )
+
+    # the synthetic vocabulary is head-heavy (most tokens appear in >half
+    # the docs), so the gate runs the band at 0.9 to keep a meaningful
+    # index; production corpora use a tighter fraction
+    return inverted_index(
+        _spread(spark, _docs(spark, sf_dir)), min_df=5, max_df_frac=0.9
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # click -> view -> purchase funnel within 1 hour of the first click,
     # greedy earliest-match per user. The oracle is the chained-min
@@ -2135,6 +2196,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi": q_text_pmi,
         "events_transitions": q_events_transitions,
         "kg_diff": q_kg_diff,
+        "graph_kcore": q_graph_kcore,
+        "events_resample": q_events_resample,
+        "text_inverted": q_text_inverted,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -2251,10 +2315,98 @@ def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
     """
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled k-core peel over the q_graph_kcore edge set: per round,
+    degrees over the surviving canonical undirected edges, keep ids with
+    deg >= k, re-induce. Output = degrees over the final edge set."""
+    # every CTE is MATERIALIZED: each e{r+1} references e{r}/k{r} three
+    # times, so default inlining re-expands the chain ~5^rounds times —
+    # enough parquet re-opens to exhaust the fd limit before it even runs
+    ctes = [
+        """raw as materialized (
+        select 'f' || cast(doc_id % 500 as varchar) as src,
+               'f' || cast((doc_id % 500) // 2 as varchar) as dst
+        from documents where doc_id % 500 > 0
+        union all
+        select 'c' || cast(doc_id % 20 as varchar),
+               'c' || cast((doc_id + 1) % 20 as varchar) from documents
+        union all
+        select 'c' || cast(doc_id % 20 as varchar),
+               'c' || cast((doc_id + 2) % 20 as varchar) from documents
+        union all
+        select 'c' || cast(doc_id % 20 as varchar),
+               'c' || cast((doc_id + 3) % 20 as varchar) from documents
+        union all
+        select 'c0', 'f0')""",
+        """e0 as materialized (
+          select distinct least(src, dst) as u, greatest(src, dst) as v
+          from raw where src <> dst)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""k{r} as materialized (
+          select id from (
+            select u as id from e{r} union all select v from e{r})
+          group by id having count(*) >= {int(k)})"""
+        )
+        ctes.append(
+            f"""e{r + 1} as materialized (
+          select u, v from e{r}
+          where u in (select id from k{r}) and v in (select id from k{r}))"""
+        )
+    return (
+        "with " + ",\n      ".join(ctes)
+        + f"""
+      select id, count(*) as deg from (
+        select u as id from e{rounds} union all select v from e{rounds})
+      group by id"""
+    )
+
+
 def retired_oracle_sql() -> dict[str, str]:
     oracles = {
+        "graph_kcore": _kcore_oracle(k=3, rounds=4),
+        # dense per-user daily grid: same date_trunc buckets, decimal
+        # sums, generate_series grid, ignore-nulls forward fill
+        "events_resample": """
+          with a as (
+            select user_id, date_trunc('day', ts) as bucket,
+                   count(*) as n,
+                   sum(cast(value as decimal(18,6))) as total
+            from events group by 1, 2),
+          g as (
+            select user_id,
+                   unnest(generate_series(min(bucket), max(bucket),
+                                          interval 1 day)) as bucket
+            from a group by user_id),
+          j as (
+            select g.user_id, g.bucket, coalesce(a.n, 0) as n, a.total
+            from g left join a using (user_id, bucket))
+          select user_id, bucket, n, total,
+                 last_value(total ignore nulls) over (
+                   partition by user_id order by bucket
+                   rows between unbounded preceding and current row) as filled
+          from j
+        """,
         "text_tfidf": _tfidf_oracle(top_k=5, min_df=2, max_df_frac=0.8),
         "text_bm25": _bm25_oracle(_BM25_QUERY),
+        # band-pass before list aggregation, postings sorted
+        "text_inverted": f"""
+          with {_TOKENIZE_CTE},
+          kt as (select token, doc_id from w2 group by token, doc_id),
+          nd as (select count(*) as n from documents),
+          b as (
+            select token, count(*) as df_t
+            from kt group by 1),
+          bb as (
+            select token, df_t from b cross join nd
+            where df_t >= 5
+              and cast(df_t as double) <= floor(0.9 * cast(n as double)))
+          select kt.token, bb.df_t,
+                 list(kt.doc_id order by kt.doc_id) as postings
+          from kt join bb using (token)
+          group by kt.token, bb.df_t
+        """,
         # PMI: same unordered-pair enumeration via a position × distance
         # product, single-ln + round-9 over an exactly-rounded ratio
         "text_pmi": f"""

@@ -98,6 +98,56 @@ def tfidf_terms(
     )
 
 
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_df: int = 1,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Inverted index: (token, df_t, postings) with postings the SORTED
+    distinct document keys containing the token — the retrieval-side
+    artifact BM25/decontamination lookups consume. The ``[min_df,
+    floor(max_df_frac * N)]`` band-pass is what BOUNDS the posting rows:
+    stopword-frequency tokens (the only unbounded-row risk — a token in
+    every document would collect the whole corpus into one array) are
+    excluded by ``max_df_frac`` BEFORE the list aggregation, so the
+    worst surviving row holds ``max_df_frac * N`` keys; shrink the
+    fraction (or shard postings by key range) as N grows. One corpus
+    (key, token) dedup shuffle + one vocabulary-sized aggregation.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    kt = (
+        df.select(F.col(key_col), F.explode(ws_tokens(c)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token", key_col)
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .localCheckpoint(eager=False)  # consumed by the band AND postings
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    # the band-pass runs BEFORE the list aggregation — a stopword row
+    # must never be built only to be thrown away, or the bound is fiction
+    band = (
+        kt.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df_t") >= F.lit(int(min_df)))
+            & (
+                F.col("df_t").cast("double")
+                <= F.floor(F.lit(float(max_df_frac)) * F.col("n").cast("double"))
+            )
+        )
+        .select("token", "df_t")
+    )
+    return (
+        kt.join(band, "token")
+        .groupBy("token", "df_t")
+        .agg(F.sort_array(F.collect_list(key_col)).alias("postings"))
+        .select("token", "df_t", "postings")
+    )
+
+
 def cooccurrence_pmi(
     df: DataFrame,
     text_col: str = "text",

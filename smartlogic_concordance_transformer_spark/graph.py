@@ -426,6 +426,68 @@ class GraphFrame:
                 prev_fp = fp
         return self._v.join(dists, "id", "left")
 
+    def kCore(
+        self, k: int, maxIter: int | None = None, rounds: int | None = None
+    ) -> DataFrame:
+        """Vertices of the k-core — the maximal subgraph where every
+        vertex keeps undirected degree >= k (Seidman 1983; the standard
+        KG noise trim: peel leaf chains and sparse fringes before
+        expensive downstream analytics). Iterative peel: per round one
+        degree count (explode + map-side-combinable groupBy) and two
+        semi-joins re-inducing the edge set — no adjacency list ever
+        materializes, so a hub's neighborhood never has to fit in one
+        task; lineage truncated per round. Returns (id, deg) for
+        surviving vertices, deg = degree within the returned core.
+
+        ``maxIter`` (default 30) converges with a fingerprint early-stop
+        (the peel is monotone — a stable survivor set is the fixpoint);
+        ``rounds`` runs EXACTLY that many peels (the oracle-replayable
+        fixed form, the shortestPathsWeighted discipline)."""
+        if rounds is not None and maxIter is not None:
+            raise ValueError("pass maxIter (converge) or rounds (fixed), not both")
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        budget = rounds if rounds is not None else (maxIter or 30)
+        # canonical undirected edges (u < v), self-loops dropped
+        edges = (
+            _symmetrize(self._e, "src", "dst")
+            .filter(F.col("u") < F.col("v"))
+            .localCheckpoint()
+        )
+
+        def _deg(e: DataFrame) -> DataFrame:
+            return (
+                e.select(F.explode(F.array("u", "v")).alias("id"))
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+
+        prev = None
+        for _ in range(budget):
+            keep = _deg(edges).filter(F.col("deg") >= F.lit(int(k))).select("id")
+            edges = (
+                edges.join(keep.withColumnRenamed("id", "u"), "u", "semi")
+                .join(keep.withColumnRenamed("id", "v"), "v", "semi")
+                .select("u", "v")
+                .localCheckpoint()
+            )
+            if rounds is None:
+                row = edges.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(
+                        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+                    ).alias("h"),
+                ).first()
+                fp = (int(row["n"]), int(row["h"]))
+                if fp == prev:
+                    break
+                prev = fp
+        # output = degrees over the final induced edge set, both modes
+        # (isolated survivors have no edges and drop out; at the converged
+        # fixpoint every reported deg >= k — it may dip below only in the
+        # fixed-rounds replay form)
+        return _deg(edges).select("id", "deg")
+
     def filterVertices(self, condition: Column | str) -> "GraphFrame":
         """Subgraph induced by vertices matching ``condition``: edges keep
         only endpoints that survive (two semi-joins, broadcast-able)."""

@@ -320,3 +320,51 @@ def test_weighted_shortest_paths_match_dijkstra(spark):
 
     with _pytest.raises(ValueError):
         GraphFrame(v, e).shortestPathsWeighted(["n00"], maxIter=5, rounds=5)
+
+
+def test_kcore_converges_to_python_peeler(spark):
+    from smartlogic_concordance_transformer_spark.graph import GraphFrame
+    import collections
+
+    # deterministic two-generator graph with degree heterogeneity: the
+    # affine maps keep a 21-vertex 3-core; the binary tree peels away
+    pairs = [(i % 23, (2 * (i % 23) + 3) % 23) for i in range(46)]
+    pairs += [(i % 23, (5 * (i % 23) + 1) % 23) for i in range(46)]
+    pairs += [(30 + i, 30 + (i // 2)) for i in range(1, 16)]  # tree fringe
+    edges = [(f"n{a}", f"n{b}") for a, b in pairs if a != b]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    v = e.selectExpr("src as id").union(e.selectExpr("dst as id")).distinct()
+    got = {(r.id, r.deg) for r in GraphFrame(v, e).kCore(k=3).collect()}
+
+    E = {(min(a, b), max(a, b)) for a, b in
+         ((f"n{a}", f"n{b}") for a, b in pairs if a != b)}
+    while True:
+        deg = collections.Counter()
+        for u, w in E:
+            deg[u] += 1
+            deg[w] += 1
+        keep = {x for x, c in deg.items() if c >= 3}
+        e2 = {(u, w) for u, w in E if u in keep and w in keep}
+        if e2 == E:
+            break
+        E = e2
+    deg = collections.Counter()
+    for u, w in E:
+        deg[u] += 1
+        deg[w] += 1
+    assert got == set(deg.items())
+    assert got, "expected a nonempty 3-core"
+    assert all(d >= 3 for _, d in got), "converged core degrees must be >= k"
+
+
+def test_kcore_arg_validation(spark):
+    from smartlogic_concordance_transformer_spark.graph import GraphFrame
+    import pytest as _pytest
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    v = e.selectExpr("src as id").union(e.selectExpr("dst as id")).distinct()
+    g = GraphFrame(v, e)
+    with _pytest.raises(ValueError, match="not both"):
+        g.kCore(k=2, maxIter=3, rounds=3)
+    with _pytest.raises(ValueError, match="k must be"):
+        g.kCore(k=0)

@@ -273,3 +273,34 @@ def test_event_transitions_golden(spark):
         ("view", "view"): (1, 0.5),
         ("view", "purchase"): (1, 0.5),
     }
+
+
+def test_resample_gapfill_golden(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.timeseries import (
+        resample_gapfill,
+    )
+    import datetime as dt
+    from decimal import Decimal
+    import pytest as _pytest
+
+    d0 = dt.datetime(2024, 3, 1, 10, 0)
+    rows = [
+        # user 1: days 1, 1, 4 -> days 2 and 3 are gaps
+        (1, d0, 2.5), (1, d0 + dt.timedelta(hours=3), 1.25),
+        (1, d0 + dt.timedelta(days=3), 10.0),
+        # user 2: single day -> one-row grid
+        (2, d0 + dt.timedelta(days=1), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {(r.user_id, r.bucket.day): (r.n, r.total, r.filled)
+           for r in resample_gapfill(df, unit="day").collect()}
+    t1 = Decimal("3.750000")
+    assert got == {
+        (1, 1): (2, t1, t1),
+        (1, 2): (0, None, t1),          # gap: count 0, total null, ffill
+        (1, 3): (0, None, t1),
+        (1, 4): (1, Decimal("10.000000"), Decimal("10.000000")),
+        (2, 2): (1, Decimal("7.000000"), Decimal("7.000000")),
+    }
+    with _pytest.raises(ValueError, match="unit"):
+        resample_gapfill(df, unit="fortnight")
