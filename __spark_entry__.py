@@ -373,6 +373,29 @@ def q_text_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # label propagation (4 synchronous rounds, deterministic min-label
+    # ties) over two densely wired 30-node blocks joined by one bridge —
+    # the community structure LPA exists to find. The fixed round count
+    # is the oracle-replayable form (same discipline as sssp/kcore).
+    from smartlogic_concordance_transformer_spark.graph import GraphFrame
+
+    d = _docs(spark, sf_dir)
+    blocks = None
+    for off in (1, 2, 3):
+        part = d.selectExpr(
+            "concat('b', cast(pmod(doc_id, 2) as string), '_', "
+            "cast(pmod(doc_id, 30) as string)) as src",
+            f"concat('b', cast(pmod(doc_id, 2) as string), '_', "
+            f"cast(pmod(doc_id + {off}, 30) as string)) as dst",
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+    bridge = spark.createDataFrame([("b0_0", "b1_0")], "src string, dst string")
+    e = blocks.unionByName(bridge)
+    v = e.selectExpr("src as id").union(e.selectExpr("dst as id")).distinct()
+    return GraphFrame(v, e).labelPropagation(maxIter=4)
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # click -> view -> purchase funnel within 1 hour of the first click,
     # greedy earliest-match per user. The oracle is the chained-min
@@ -2199,6 +2222,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "events_resample": q_events_resample,
         "text_inverted": q_text_inverted,
+        "graph_lpa": q_graph_lpa,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -2363,9 +2387,55 @@ def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
     )
 
 
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous label propagation over the q_graph_lpa edge
+    set: per round every vertex adopts its neighbors' most frequent label
+    (ties -> min label), keeping its own when isolated. MATERIALIZED CTEs
+    for the same fd-exhaustion reason as the k-core oracle."""
+    ctes = [
+        """raw as materialized (
+        select 'b' || cast(doc_id % 2 as varchar) || '_'
+                   || cast(doc_id % 30 as varchar) as src,
+               'b' || cast(doc_id % 2 as varchar) || '_'
+                   || cast((doc_id + d.off) % 30 as varchar) as dst
+        from documents cross join (select unnest([1, 2, 3]) as off) d
+        union all
+        select 'b0_0', 'b1_0')""",
+        """sym as materialized (
+          select distinct u, v from (
+            select src as u, dst as v from raw
+            union all
+            select dst, src from raw)
+          where u <> v)""",
+        "vtx as materialized (select distinct u as id from sym)",
+        "l0 as materialized (select id, id as label from vtx)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""b{r} as materialized (
+          select id, label from (
+            select s.u as id, l.label, count(*) as n,
+                   row_number() over (partition by s.u
+                                      order by count(*) desc, l.label asc) as rr
+            from sym s join l{r} l on s.v = l.id
+            group by s.u, l.label)
+          where rr = 1)"""
+        )
+        ctes.append(
+            f"""l{r + 1} as materialized (
+          select vtx.id, coalesce(b.label, vtx.id) as label
+          from vtx left join b{r} b using (id))"""
+        )
+    return (
+        "with " + ",\n      ".join(ctes)
+        + f"\n      select id, label from l{rounds}"
+    )
+
+
 def retired_oracle_sql() -> dict[str, str]:
     oracles = {
         "graph_kcore": _kcore_oracle(k=3, rounds=4),
+        "graph_lpa": _lpa_oracle(rounds=4),
         # dense per-user daily grid: same date_trunc buckets, decimal
         # sums, generate_series grid, ignore-nulls forward fill
         "events_resample": """

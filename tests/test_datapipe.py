@@ -2514,3 +2514,50 @@ def test_snapshot_diff_semantics(spark):
         snapshot_diff(old, new.withColumnRenamed("obj", "val"), keys=["subj"])
     with _pytest.raises(ValueError, match="key columns"):
         snapshot_diff(old, new, keys=["nope"])
+
+
+def test_heavy_hitters_misra_gries_bounds(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.sketches import (
+        heavy_hitters,
+    )
+    from collections import Counter
+
+    # skewed stream: value 'h0' ~ 1/3 of rows, 'h1' ~ 1/6, long tail
+    vals = []
+    for i in range(6000):
+        if i % 3 == 0:
+            vals.append("h0")
+        elif i % 6 == 1:
+            vals.append("h1")
+        else:
+            vals.append(f"t{i % 97}")
+    truth = Counter(vals)
+    n, k = len(vals), 10
+    df = spark.createDataFrame([(v,) for v in vals], "val string")
+    for parts in (2, 8):
+        got = {r.val: r.est_count
+               for r in heavy_hitters(df.repartition(parts), "val", k=k).collect()}
+        # every true heavy hitter (> n/(k+1)) is present
+        for v, f in truth.items():
+            if f > n / (k + 1):
+                assert v in got, (parts, v, f)
+        # never overcounts; undercounts by at most n/(k+1)
+        for v, est in got.items():
+            assert est <= truth[v], (parts, v, est, truth[v])
+            assert truth[v] - est <= n / (k + 1), (parts, v, est, truth[v])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(df, "val", k=0)
+
+
+def test_heavy_hitters_ignores_nulls(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.sketches import (
+        heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "val string"
+    )
+    got = {r.val: r.est_count for r in heavy_hitters(df, "val", k=5).collect()}
+    assert got == {"a": 2, "b": 1}
