@@ -396,6 +396,37 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GraphFrame(v, e).labelPropagation(maxIter=4)
 
 
+def q_kg_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # related entities via shared neighbors, Jaccard-scored. The edge
+    # derivation saturates at 600 distinct (subj, obj) pairs (lcm of the
+    # two moduli), so object degrees are scale-invariant; the planted
+    # 'ghub' neighbor (degree 40) exceeds max_hub_degree=12 and is
+    # dropped BEFORE the self-join — the max_df noise rule.
+    from smartlogic_concordance_transformer_spark.graph import related_entities
+
+    d = _docs(spark, sf_dir)
+    e = d.selectExpr(
+        "concat('d', cast(pmod(doc_id, 120) as string)) as src",
+        "concat('g', cast(pmod(doc_id, 50) as string)) as dst",
+    ).unionByName(
+        d.filter("pmod(doc_id, 3) = 0").selectExpr(
+            "concat('d', cast(pmod(doc_id, 120) as string)) as src",
+            "'ghub' as dst",
+        )
+    )
+    return related_entities(e, min_shared=2, max_hub_degree=12)
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source mixing report: docs, tokens, mean quality, language mix
+    # in ONE map-side-combinable pass over one scan.
+    from smartlogic_concordance_transformer_spark.datapipe.quality_checks import (
+        corpus_report,
+    )
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # click -> view -> purchase funnel within 1 hour of the first click,
     # greedy earliest-match per user. The oracle is the chained-min
@@ -2223,6 +2254,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": q_events_resample,
         "text_inverted": q_text_inverted,
         "graph_lpa": q_graph_lpa,
+        "kg_related": q_kg_related,
+        "corpus_stats": q_corpus_stats,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -2436,6 +2469,48 @@ def retired_oracle_sql() -> dict[str, str]:
     oracles = {
         "graph_kcore": _kcore_oracle(k=3, rounds=4),
         "graph_lpa": _lpa_oracle(rounds=4),
+        # same edge derivation, hub filter before the self-join, exact
+        # integer Jaccard pieces with one rounded division
+        "kg_related": """
+          with e as (
+            select distinct 'd' || cast(doc_id % 120 as varchar) as a,
+                   'g' || cast(doc_id % 50 as varchar) as nb
+            from documents
+            union
+            select distinct 'd' || cast(doc_id % 120 as varchar), 'ghub'
+            from documents where doc_id % 3 = 0),
+          ok as (select nb from e group by nb having count(*) <= 12),
+          f as (select a, nb from e join ok using (nb)),
+          deg as (select a, count(*) as d from f group by a),
+          p as (
+            select x.a as a, y.a as b, count(*) as shared
+            from f x join f y on x.nb = y.nb and x.a < y.a
+            group by 1, 2
+            having count(*) >= 2)
+          select p.a, p.b, p.shared,
+                 round(cast(p.shared as double)
+                       / (cast(da.d as double) + cast(db.d as double)
+                          - cast(p.shared as double)), 6) as jaccard
+          from p join deg da on p.a = da.a
+          join deg db on p.b = db.a
+        """,
+        # one-pass per-source report; quality replays the shared SQL
+        "corpus_stats": f"""
+          with q as (select doc_id, quality
+                     from {_quality_sql("text", "documents")} _q),
+          d as (select doc_id, source, lang,
+                       len(string_split_regex(trim(text), '\\s+')) as nt
+                from documents)
+          select d.source,
+                 count(*) as n_docs,
+                 cast(sum(d.nt) as bigint) as n_tokens,
+                 round(cast(sum(cast(q.quality as decimal(18,6))) as double)
+                       / cast(count(*) as double), 6) as mean_quality,
+                 cast(sum(case when d.lang = 'en' then 1 else 0 end) as bigint)
+                   as n_lang_en
+          from d join q using (doc_id)
+          group by d.source
+        """,
         # dense per-user daily grid: same date_trunc buckets, decimal
         # sums, generate_series grid, ignore-nulls forward fill
         "events_resample": """

@@ -127,3 +127,44 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
         report = report.unionByName(part)
 
     return report.withColumn("passed", F.col("violations") == 0)
+
+
+def corpus_report(
+    df,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+):
+    """Per-source corpus mixing report — the table a data-curation run
+    publishes next to its output: (source, n_docs, n_tokens,
+    mean_quality, n_lang_en). One single-pass map-side-combinable
+    aggregation over one scan; token and quality expressions are the
+    shared ``text.py`` definitions, so the report cannot drift from the
+    filters that act on those signals. mean_quality sums exact decimals
+    (quality is quarter-valued) and divides once (the zscore
+    discipline)."""
+    from pyspark.sql import functions as F
+
+    from .text import quality_score, token_count
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+        F.sum(quality_score(text_col).cast("decimal(18,6)")).alias("_q"),
+    ]
+    if lang_col is not None:
+        aggs.append(
+            F.sum(
+                F.when(F.col(lang_col) == "en", F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_lang_en")
+        )
+    out = df.groupBy(source_col).agg(*aggs)
+    return out.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("_q").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("mean_quality"),
+        *(["n_lang_en"] if lang_col is not None else []),
+    )

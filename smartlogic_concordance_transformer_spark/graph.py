@@ -710,3 +710,68 @@ class GraphFrame:
         corners = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
         counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("count"))
         return self._v.join(counts, "id", "left").fillna({"count": 0})
+
+
+def related_entities(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_shared: int = 1,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Entities related through shared neighbors on a bipartite edge set
+    (subjects sharing objects — the KG "customers who bought X" /
+    related-concept primitive): (a, b, shared, jaccard) for source pairs
+    a < b, ``jaccard = shared / (deg_a + deg_b - shared)`` over distinct
+    neighbor sets.
+
+    Scale: pair fan-out is quadratic in a NEIGHBOR's degree, so
+    ``max_hub_degree`` drops hub neighbors BEFORE the self-join (the
+    boilerplate/max_df noise rule: an object everyone links to carries
+    no signal and would alone generate deg² pairs). Degrees — and
+    therefore the Jaccard — are computed over the SAME hub-filtered
+    edge set, so the statistic stays internally consistent; that choice
+    is part of the contract. The self-join is equi on the neighbor key,
+    never cartesian.
+    """
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("nb")
+    ).filter(F.col("a").isNotNull() & F.col("nb").isNotNull()).distinct()
+    if max_hub_degree is not None:
+        ok = (
+            e.groupBy("nb")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") <= F.lit(int(max_hub_degree)))
+            .select("nb")
+        )
+        e = e.join(ok, "nb", "semi")
+    e = e.localCheckpoint(eager=False)  # consumed by pairs (twice) + degrees
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
+    rhs = e.select(F.col("a").alias("b"), "nb")
+    pairs = (
+        e.join(rhs, "nb")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= F.lit(int(min_shared)))
+    )
+    return (
+        pairs.join(deg, "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("_deg").alias("_degb")), "b"
+        )
+        .select(
+            "a",
+            "b",
+            "shared",
+            F.round(
+                F.col("shared").cast("double")
+                / (
+                    F.col("_deg").cast("double")
+                    + F.col("_degb").cast("double")
+                    - F.col("shared").cast("double")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

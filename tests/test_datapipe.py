@@ -2561,3 +2561,45 @@ def test_heavy_hitters_ignores_nulls(spark):
     )
     got = {r.val: r.est_count for r in heavy_hitters(df, "val", k=5).collect()}
     assert got == {"a": 2, "b": 1}
+
+
+def test_corpus_report_matches_python(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.quality_checks import (
+        corpus_report,
+    )
+    from smartlogic_concordance_transformer_spark.datapipe.text import STOPWORDS
+
+    rows = [
+        ("s1", "en", "the quick brown fox jumps over the lazy dog " * 8),
+        ("s1", "de", "kurz"),
+        ("s2", "en", "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {r.source: (r.n_docs, r.n_tokens, r.mean_quality, r.n_lang_en)
+           for r in corpus_report(df).collect()}
+
+    def quality(t):
+        toks = [w for w in t.strip().split() if w]
+        n_chars = len(t)
+        alpha = sum(ch.isalpha() for ch in t) / max(n_chars, 1)
+        stop = len(set(toks) & set(STOPWORDS["en"]))
+        mwl = n_chars / max(len(toks), 1)
+        s = (1.0 if 200 <= n_chars <= 100000 else 0.5 if n_chars >= 50 else 0.0)
+        s += 1.0 if 3 <= mwl <= 12 else 0.0
+        s += 1.0 if stop >= 2 else 0.5 if stop >= 1 else 0.0
+        s += 1.0 if alpha >= 0.6 else 0.5 if alpha >= 0.4 else 0.0
+        return s / 4
+
+    import re
+    def ntok(t):
+        return len(re.split(r"\s+", t.strip()))
+
+    for src in ("s1", "s2"):
+        docs = [(l, t) for s, l, t in rows if s == src]
+        want = (
+            len(docs),
+            sum(ntok(t) for _, t in docs),
+            round(sum(quality(t) for _, t in docs) / len(docs), 6),
+            sum(1 for l, _ in docs if l == "en"),
+        )
+        assert got[src] == want, (src, got[src], want)

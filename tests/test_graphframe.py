@@ -368,3 +368,30 @@ def test_kcore_arg_validation(spark):
         g.kCore(k=2, maxIter=3, rounds=3)
     with _pytest.raises(ValueError, match="k must be"):
         g.kCore(k=0)
+
+
+def test_related_entities_hub_filter_and_jaccard(spark):
+    from smartlogic_concordance_transformer_spark.graph import related_entities
+
+    edges = [
+        # a1 and a2 share n1, n2; a3 shares only n2 with them
+        ("a1", "n1"), ("a2", "n1"),
+        ("a1", "n2"), ("a2", "n2"), ("a3", "n2"),
+        ("a3", "n3"),
+        # hub neighbor everyone touches: must not generate pairs
+        ("a1", "hub"), ("a2", "hub"), ("a3", "hub"), ("a4", "hub"),
+        # duplicate edge: neighbor sets are distinct
+        ("a1", "n1"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.a, r.b): (r.shared, r.jaccard)
+           for r in related_entities(e, max_hub_degree=3).collect()}
+    # degrees AFTER hub drop: a1={n1,n2}, a2={n1,n2}, a3={n2,n3}, a4={}
+    assert got == {
+        ("a1", "a2"): (2, 1.0),
+        ("a1", "a3"): (1, round(1 / 3, 6)),
+        ("a2", "a3"): (1, round(1 / 3, 6)),
+    }
+    only_strong = {(r.a, r.b) for r in
+                   related_entities(e, min_shared=2, max_hub_degree=3).collect()}
+    assert only_strong == {("a1", "a2")}
