@@ -427,6 +427,28 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(_docs(spark, sf_dir))
 
 
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # local clustering coefficient over the same triangle-rich
+    # two-generator graph as graph_triangles; exact wedge integers, one
+    # rounded division.
+    from smartlogic_concordance_transformer_spark.graph import (
+        GraphFrame,
+        clustering_coefficient,
+    )
+
+    d = _docs(spark, sf_dir)
+    gens = ["pmod(doc_id + 1, 60)", "pmod(doc_id + 2, 60)", "pmod(doc_id * 7 + 1, 60)"]
+    e = None
+    for gexpr in gens:
+        part = d.selectExpr(
+            "concat('n', cast(pmod(doc_id, 60) as string)) as src",
+            f"concat('n', cast({gexpr} as string)) as dst",
+        )
+        e = part if e is None else e.union(part)
+    v = e.selectExpr("src as id").union(e.selectExpr("dst as id")).distinct()
+    return clustering_coefficient(GraphFrame(v, e))
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # click -> view -> purchase funnel within 1 hour of the first click,
     # greedy earliest-match per user. The oracle is the chained-min
@@ -2256,6 +2278,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa": q_graph_lpa,
         "kg_related": q_kg_related,
         "corpus_stats": q_corpus_stats,
+        "graph_clustering": q_graph_clustering,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -2493,6 +2516,45 @@ def retired_oracle_sql() -> dict[str, str]:
                           - cast(p.shared as double)), 6) as jaccard
           from p join deg da on p.a = da.a
           join deg db on p.b = db.a
+        """,
+        # triangle replay + canonical-edge degrees + one rounded division
+        "graph_clustering": """
+          with e0 as (
+            select 'n' || cast(doc_id % 60 as varchar) as src,
+                   'n' || cast((doc_id + 1) % 60 as varchar) as dst
+            from documents
+            union all
+            select 'n' || cast(doc_id % 60 as varchar),
+                   'n' || cast((doc_id + 2) % 60 as varchar)
+            from documents
+            union all
+            select 'n' || cast(doc_id % 60 as varchar),
+                   'n' || cast((doc_id * 7 + 1) % 60 as varchar)
+            from documents),
+          verts as (select src as id from e0 union select dst from e0),
+          e as (select least(src, dst) as a, greatest(src, dst) as b
+                from e0 where src <> dst group by 1, 2),
+          tri as (select ab.a, ab.b, bc.b as c
+                  from e ab
+                  join e bc on bc.a = ab.b
+                  join e ac on ac.a = ab.a and ac.b = bc.b),
+          corners as (select a as id from tri
+                      union all select b from tri
+                      union all select c from tri),
+          cnt as (select id, count(*) as n_tri from corners group by id),
+          deg as (select id, count(*) as deg from (
+                    select a as id from e union all select b from e)
+                  group by id)
+          select verts.id,
+                 coalesce(cnt.n_tri, 0) as triangles,
+                 coalesce(deg.deg, 0) as deg,
+                 case when coalesce(deg.deg, 0) < 2 then 0.0
+                      else round(cast(coalesce(cnt.n_tri, 0) as double)
+                                 / (cast(deg.deg * (deg.deg - 1) as double) / 2.0), 6)
+                 end as coef
+          from verts
+          left join cnt using (id)
+          left join deg using (id)
         """,
         # one-pass per-source report; quality replays the shared SQL
         "corpus_stats": f"""

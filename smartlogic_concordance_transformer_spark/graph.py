@@ -712,6 +712,41 @@ class GraphFrame:
         return self._v.join(counts, "id", "left").fillna({"count": 0})
 
 
+def clustering_coefficient(graph: "GraphFrame") -> DataFrame:
+    """Local clustering coefficient per vertex:
+    ``coef = triangles / (deg * (deg - 1) / 2)`` over the undirected
+    simple graph (0.0 for degree < 2) — the cohesion signal community
+    pipelines threshold on. Composes the existing triangle count (two
+    equi-joins on canonical edges, no adjacency lists) with one degree
+    aggregation; the division is one exact IEEE op rounded to 6 dp, and
+    the wedge count is exact integer math, so both engines agree
+    bit-for-bit. Returns (id, triangles, deg, coef)."""
+    tri = graph.triangleCount().select("id", F.col("count").alias("triangles"))
+    und = (
+        _symmetrize(graph._e, "src", "dst")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = (F.col("deg") * (F.col("deg") - F.lit(1))).cast("double") / F.lit(2.0)
+    return (
+        tri.join(und, "id", "left")
+        .select(
+            "id",
+            "triangles",
+            F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
+            F.when(
+                F.coalesce(F.col("deg"), F.lit(0)) < 2, F.lit(0.0)
+            )
+            .otherwise(
+                F.round(F.col("triangles").cast("double") / wedges, 6)
+            )
+            .alias("coef"),
+        )
+    )
+
+
 def related_entities(
     edges: DataFrame,
     src: str = "src",

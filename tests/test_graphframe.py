@@ -395,3 +395,23 @@ def test_related_entities_hub_filter_and_jaccard(spark):
     only_strong = {(r.a, r.b) for r in
                    related_entities(e, min_shared=2, max_hub_degree=3).collect()}
     assert only_strong == {("a1", "a2")}
+
+
+def test_clustering_coefficient_golden(g, spark):
+    from smartlogic_concordance_transformer_spark.graph import (
+        clustering_coefficient,
+    )
+
+    # triangle a-b-c plus tail c-d: a and b have deg 2 and 1 triangle
+    # (coef 1.0); c has deg 3, 1 triangle of 3 wedges; d/x/y deg < 2
+    got = {r.id: (r.triangles, r.deg, r.coef)
+           for r in clustering_coefficient(g).collect()}
+    assert got == {
+        "a": (1, 2, 1.0),
+        "b": (1, 2, 1.0),
+        "c": (1, 3, round(1 / 3, 6)),
+        "d": (0, 1, 0.0),
+        "x": (0, 1, 0.0),
+        "y": (0, 1, 0.0),
+        "z": (0, 0, 0.0),
+    }
