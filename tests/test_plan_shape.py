@@ -491,3 +491,47 @@ def test_negative_samples_probes_buckets_not_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_related_entities_has_no_cartesian_product(spark):
+    # the shared-neighbor self-join must stay equi on the neighbor key —
+    # an all-pairs product dies at KG scale
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_kg_related(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cooccurrence_pmi_builds_pairs_in_row(spark):
+    # pair enumeration is an in-row transform over the token array: no
+    # position self-join (the token stream must never be joined to
+    # itself), and no cartesian anywhere; the single
+    # BroadcastNestedLoopJoin allowed is the 1-row totals cross join
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_text_pmi(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # all joins broadcast at this size
+
+
+def test_event_transitions_totals_need_no_second_window(spark):
+    # per-from totals come from a groupBy joined back: downstream of the
+    # pair stream's lineage cut there must be NO window node at all (a
+    # second window over from_type would sort whole event types inside
+    # single tasks — the q_events_zscore finding)
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_events_transitions(spark, SF))
+    assert plan.count("Window [") == 0, plan
+
+
+def test_tfidf_top_k_is_one_rank_limited_window(spark):
+    # the per-document top-k cut is the only window, and Spark's
+    # WindowGroupLimit pushdown must hold (partial top-k before the
+    # exchange — without it every document's full term list sorts)
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_text_tfidf(spark, SF))
+    assert plan.count("Window [") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
