@@ -61,7 +61,10 @@ def tfidf_terms(
     (score desc, token asc) — a total order, so the cut is
     deterministic across engines and partitionings.
     """
-    tf = _tf(df, text_col, key_col)
+    # tf is consumed twice (document frequencies + the score join) — cut
+    # its lineage so the corpus tokenize+count runs once, not once per
+    # consumer (the ngram_perplexity discipline)
+    tf = _tf(df, text_col, key_col).localCheckpoint(eager=False)
     n_docs = df.select(F.count(F.lit(1)).alias("n"))
     dfreq = (
         tf.groupBy("token")
@@ -242,10 +245,12 @@ def bm25_scores(
 
     The query is a tiny Python list: the token filter lands BEFORE the
     (key, token) aggregation, so the per-term shuffle carries only
-    query-token rows; document length and corpus stats still need the
-    full token stream, which is the same single explode (one pass,
-    two aggregations). At 100 TB the dl table is the corpus-row-count
-    frame and the scored frame is |query|-bounded per document.
+    query-token rows. Document lengths need the unfiltered token stream,
+    so the tokenizer runs twice (once per aggregation chain) over
+    column-pruned scans — the aggregated dl and tf tables are then
+    lineage-cut because each is consumed twice downstream. At 100 TB the
+    dl table is the corpus-row-count frame and the scored frame is
+    |query|-bounded per document.
     """
     terms = sorted({t.lower() for t in query})
     c = F.coalesce(F.col(text_col), F.lit(""))
@@ -253,11 +258,14 @@ def bm25_scores(
         df.select(F.col(key_col), F.explode(ws_tokens(c)).alias("token"))
         .filter(F.col("token") != "")
     )
-    dl = toks.groupBy(key_col).agg(F.count(F.lit(1)).alias("dl"))
+    dl = toks.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("dl")
+    ).localCheckpoint(eager=False)  # consumed by stats AND the score join
     tf = (
         toks.filter(F.col("token").isin(terms))
         .groupBy(key_col, "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # consumed by dfreq AND the output
     )
     stats = df.agg(F.count(F.lit(1)).alias("n")).crossJoin(
         dl.agg(F.sum("dl").alias("sum_dl"))

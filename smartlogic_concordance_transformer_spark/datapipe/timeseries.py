@@ -43,6 +43,11 @@ def resample_gapfill(
     ``unit`` must be a ``date_trunc`` unit (hour/day/...): bucket
     identity stays a timestamp, so both engines agree without epoch or
     timezone arithmetic.
+
+    Rows with a NULL timestamp have no bucket and are EXCLUDED from the
+    grid (they aggregate into a null-bucket group the sequence bounds
+    ignore and the grid join never matches) — filter or impute upstream
+    if they must count.
     """
     if unit not in _UNITS:
         raise ValueError(f"unit must be one of {sorted(_UNITS)}")
