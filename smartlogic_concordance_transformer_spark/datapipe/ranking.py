@@ -1,12 +1,15 @@
-"""Corpus ranking operators: TF-IDF keyword extraction and BM25 scoring.
+"""Corpus IR statistics: TF-IDF keywords, BM25 scoring, PMI
+co-occurrence, and the inverted index.
 
-A pretraining-data pipeline needs relevance machinery in two places:
-per-document salient terms (keyword metadata for curation / domain
-routing) and query-against-corpus scoring (targeted subset mining, e.g.
-"pull the documents that look like math"). Both are classic IR
-statistics (Sparck Jones 1972; Robertson et al., TREC-3 BM25) built
-here from the same ``ws_tokens`` normalization every other text
-operator shares, so vocabularies line up across the engine.
+A pretraining-data pipeline needs relevance machinery in several
+places: per-document salient terms (keyword metadata for curation /
+domain routing), query-against-corpus scoring (targeted subset mining,
+e.g. "pull the documents that look like math"), distributional
+statistics (PMI co-occurrence, the word2vec/GloVe preprocessing
+table), and the retrieval-side posting lists. All are classic IR
+statistics (Sparck Jones 1972; Robertson et al., TREC-3 BM25; Church &
+Hanks 1990) built from the same ``ws_tokens`` normalization every
+other text operator shares, so vocabularies line up across the engine.
 
 Scale contract (both operators):
 * term-frequency table = one explode + one map-side-combinable
