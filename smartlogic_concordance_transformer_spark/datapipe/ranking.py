@@ -317,3 +317,106 @@ def bm25_scores(
             F.round(F.sum("part").cast("double"), 6).alias("bm25"),
         )
     )
+
+
+class PostingStore:
+    """Incremental inverted-index store — the daily-ingest variant of
+    ``inverted_index``, completing the incremental family (MinHash /
+    SimHash / SemDeDup / CC / changesets): the index IS a (token, key)
+    pair table persisted as parquet partitioned by
+    ``tb = pmod(xxhash64(token), n_buckets)`` and ``batch_id``, so
+
+    * ``ingest`` tokenizes ONLY the new batch and appends its pairs via
+      dynamic partition overwrite of the batch's own partitions —
+      replaying a batch byte-identically is a no-op (idempotent under
+      at-least-once delivery, the streaming-dedup discipline);
+    * ``lookup`` reads one token's postings with a partition-pruned scan
+      (the ``tb`` filter prunes at the source — never a full-store read);
+    * ``posting_lists`` materializes the banded index; document
+      frequencies use ``count(distinct key)`` so an accidental re-ingest
+      of a document under a NEW batch_id degrades gracefully instead of
+      inflating df (each document should still ingest in exactly one
+      batch — the global-uniqueness precondition all incremental kernels
+      share).
+
+    Wire into Structured Streaming with
+    ``stream.writeStream.foreachBatch(lambda df, i: store.ingest(df, i))``.
+    """
+
+    def __init__(self, root: str, n_buckets: int = 64):
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        self.root = root
+        self.n_buckets = int(n_buckets)
+
+    def _tb(self) -> Column:
+        return F.pmod(F.xxhash64(F.col("token")), F.lit(self.n_buckets))
+
+    def ingest(
+        self,
+        docs: DataFrame,
+        batch_id: int,
+        text_col: str = "text",
+        key_col: str = "doc_id",
+    ) -> None:
+        c = F.coalesce(F.col(text_col), F.lit(""))
+        kt = (
+            docs.select(F.col(key_col).alias("key"), F.explode(ws_tokens(c)).alias("token"))
+            .filter(F.col("token") != "")
+            .distinct()
+        )
+        (
+            kt.withColumn("tb", self._tb())
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("tb", "batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.root)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.root)
+
+    def lookup(self, spark: SparkSession, token: str) -> DataFrame:
+        """Sorted postings for one token: the tb equality below is a
+        PARTITION filter, so the scan touches 1/n_buckets of the store."""
+        tb = self.read(spark).filter(
+            (F.col("tb") == F.pmod(F.xxhash64(F.lit(token)), F.lit(self.n_buckets)))
+            & (F.col("token") == F.lit(token))
+        )
+        return tb.select("key").distinct().orderBy("key")
+
+    def posting_lists(
+        self,
+        spark: SparkSession,
+        min_df: int = 1,
+        max_df_frac: float = 0.5,
+        n_docs: int | None = None,
+    ) -> DataFrame:
+        """The banded (token, df_t, postings) index over everything
+        ingested so far — same band-pass-BEFORE-aggregation discipline as
+        the batch ``inverted_index``. ``n_docs`` is the corpus document
+        count for the max_df bound (pass it from the ingest ledger; when
+        None it is computed with one exact distinct count)."""
+        kt = self.read(spark).select("token", "key").distinct().localCheckpoint(
+            eager=False
+        )  # consumed by the band AND the postings aggregation
+        if n_docs is None:
+            n_docs = kt.select("key").distinct().count()
+        band = (
+            kt.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df_t"))
+            .filter(
+                (F.col("df_t") >= F.lit(int(min_df)))
+                & (
+                    F.col("df_t").cast("double")
+                    <= F.floor(F.lit(float(max_df_frac)) * F.lit(float(int(n_docs))))
+                )
+            )
+        )
+        return (
+            kt.join(band, "token")
+            .groupBy("token", "df_t")
+            .agg(F.sort_array(F.collect_list("key")).alias("postings"))
+            .select("token", "df_t", "postings")
+        )

@@ -2603,3 +2603,74 @@ def test_corpus_report_matches_python(spark):
             sum(1 for l, _ in docs if l == "en"),
         )
         assert got[src] == want, (src, got[src], want)
+
+
+def _posting_fixture_docs(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "beta gamma delta"),
+        (3, "gamma delta epsilon"),
+        (4, "alpha epsilon"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_posting_store_incremental_equals_batch(spark, tmp_path):
+    from smartlogic_concordance_transformer_spark.datapipe.ranking import (
+        PostingStore,
+        inverted_index,
+    )
+
+    docs = _posting_fixture_docs(spark)
+    store = PostingStore(str(tmp_path / "idx"), n_buckets=8)
+    store.ingest(docs.filter("doc_id <= 2"), batch_id=0)
+    store.ingest(docs.filter("doc_id > 2"), batch_id=1)
+
+    inc = {r.token: (r.df_t, tuple(r.postings))
+           for r in store.posting_lists(spark, min_df=1, max_df_frac=1.0).collect()}
+    full = {r.token: (r.df_t, tuple(r.postings))
+            for r in inverted_index(docs, min_df=1, max_df_frac=1.0).collect()}
+    assert inc == full
+    # band-pass applies identically on the incremental path
+    banded = {r.token for r in
+              store.posting_lists(spark, min_df=2, max_df_frac=0.6).collect()}
+    assert banded == {"alpha", "beta", "delta", "epsilon"}  # gamma df=3 > 0.6*4
+
+
+def test_posting_store_replay_is_idempotent(spark, tmp_path):
+    from smartlogic_concordance_transformer_spark.datapipe.ranking import (
+        PostingStore,
+    )
+
+    docs = _posting_fixture_docs(spark)
+    store = PostingStore(str(tmp_path / "idx"), n_buckets=8)
+    store.ingest(docs.filter("doc_id <= 2"), batch_id=0)
+    store.ingest(docs.filter("doc_id > 2"), batch_id=1)
+    before = sorted(
+        tuple(r) for r in store.read(spark).select("token", "key").collect()
+    )
+    store.ingest(docs.filter("doc_id <= 2"), batch_id=0)  # at-least-once replay
+    after = sorted(
+        tuple(r) for r in store.read(spark).select("token", "key").collect()
+    )
+    assert before == after
+
+
+def test_posting_store_lookup_semantics_and_pruning(spark, tmp_path):
+    from smartlogic_concordance_transformer_spark.datapipe.ranking import (
+        PostingStore,
+    )
+    import pytest as _pytest
+
+    docs = _posting_fixture_docs(spark)
+    store = PostingStore(str(tmp_path / "idx"), n_buckets=8)
+    store.ingest(docs, batch_id=0)
+    got = [r.key for r in store.lookup(spark, "gamma").collect()]
+    assert got == [1, 2, 3]
+    assert store.lookup(spark, "nosuchtoken").count() == 0
+    # the tb equality must reach the scan as a PARTITION filter
+    plan = store.lookup(spark, "gamma")._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and any("tb" in l for l in scan), plan
+    with _pytest.raises(ValueError, match="n_buckets"):
+        PostingStore("/tmp/x", n_buckets=0)
