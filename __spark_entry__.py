@@ -427,6 +427,15 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(_docs(spark, sf_dir))
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # personalized PageRank from n1 (reset mass teleports to the source
+    # only; n0's out-edges are all self-loops in this graph, so n1 is the
+    # source whose mass actually propagates), 3 fixed rounds; the oracle
+    # unrolls the same recurrence.
+    pr = _graph(spark, sf_dir).pageRank(maxIter=3, sourceId="n1").vertices
+    return pr.select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
 def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local clustering coefficient over the same triangle-rich
     # two-generator graph as graph_triangles; exact wedge integers, one
@@ -2279,6 +2288,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_related": q_kg_related,
         "corpus_stats": q_corpus_stats,
         "graph_clustering": q_graph_clustering,
+        "graph_ppr": q_graph_ppr,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -2516,6 +2526,35 @@ def retired_oracle_sql() -> dict[str, str]:
                           - cast(p.shared as double)), 6) as jaccard
           from p join deg da on p.a = da.a
           join deg db on p.b = db.a
+        """,
+        # the pagerank unroll with source-only init and reset terms
+        "graph_ppr": """
+          with e as (select 'n' || cast(doc_id % 100 as varchar) as src,
+                            'n' || cast(doc_id * 7 % 100 as varchar) as dst
+                     from documents),
+          v as (select src as id from e union select dst from e),
+          od as (select src, count(*) as c from e group by src),
+          r0 as (select id, case when id = 'n1' then 1.0 else 0.0 end as pr
+                 from v),
+          r1 as (select v.id,
+                        (case when v.id = 'n1' then 0.15 else 0.0 end)
+                          + 0.85 * coalesce(t.m, 0) as pr from v
+                 left join (select e.dst as id, sum(r0.pr / od.c) as m
+                            from e join od using (src) join r0 on r0.id = e.src
+                            group by e.dst) t using (id)),
+          r2 as (select v.id,
+                        (case when v.id = 'n1' then 0.15 else 0.0 end)
+                          + 0.85 * coalesce(t.m, 0) as pr from v
+                 left join (select e.dst as id, sum(r1.pr / od.c) as m
+                            from e join od using (src) join r1 on r1.id = e.src
+                            group by e.dst) t using (id)),
+          r3 as (select v.id,
+                        (case when v.id = 'n1' then 0.15 else 0.0 end)
+                          + 0.85 * coalesce(t.m, 0) as pr from v
+                 left join (select e.dst as id, sum(r2.pr / od.c) as m
+                            from e join od using (src) join r2 on r2.id = e.src
+                            group by e.dst) t using (id))
+          select id, round(pr, 6) as pagerank from r3
         """,
         # triangle replay + canonical-edge degrees + one rounded division
         "graph_clustering": """

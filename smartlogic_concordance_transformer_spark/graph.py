@@ -231,6 +231,7 @@ class GraphFrame:
         resetProbability: float = 0.15,
         maxIter: int = 10,
         tol: float | None = None,
+        sourceId=None,
     ) -> "GraphFrame":
         """Power iteration: pr'(v) = reset + (1-reset) * sum over in-edges
         of pr(u)/outDeg(u). Fixed ``maxIter`` rounds by default; pass
@@ -239,7 +240,12 @@ class GraphFrame:
         probe is one extra tiny action per round (a max over the rank
         frame), which is why fixed-round mode stays the default at scale;
         the probe joins the two rank frames on the already-partitioned
-        ``id`` key, so no new exchange shape appears."""
+        ``id`` key, so no new exchange shape appears.
+
+        ``sourceId`` (GraphFrames parity) runs PERSONALIZED PageRank: the
+        reset mass teleports to the source vertex only (rank init 1 at
+        the source, 0 elsewhere), so scores measure proximity to the
+        source — the same loop, only the reset term changes."""
         alpha = float(resetProbability)
         if tol is not None and tol <= 0:
             raise ValueError("tol must be positive")
@@ -254,7 +260,16 @@ class GraphFrame:
             .repartition("src")
             .localCheckpoint()
         )
-        ranks = self._v.select("id", F.lit(1.0).alias("pagerank"))
+        if sourceId is not None:
+            init = F.when(F.col("id") == F.lit(sourceId), F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            )
+            reset = F.when(F.col("id") == F.lit(sourceId), F.lit(alpha)).otherwise(
+                F.lit(0.0)
+            )
+        else:
+            init, reset = F.lit(1.0), F.lit(alpha)
+        ranks = self._v.select("id", init.alias("pagerank"))
         for _ in range(maxIter):
             contribs = (
                 edges.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -267,7 +282,7 @@ class GraphFrame:
                 .select(
                     "id",
                     (
-                        F.lit(alpha)
+                        reset
                         + F.lit(1.0 - alpha) * F.coalesce(F.col("_mass"), F.lit(0.0))
                     ).alias("pagerank"),
                 )
@@ -425,6 +440,125 @@ class GraphFrame:
                     break
                 prev_fp = fp
         return self._v.join(dists, "id", "left")
+
+    def stronglyConnectedComponents(self, maxIter: int = 40) -> DataFrame:
+        """(id, component) with component = the smallest vertex id in each
+        strongly connected component (GraphFrames API parity). Forward-
+        backward coloring (Orzan-style), all joins + aggregations:
+
+        per outer round over the still-unassigned subgraph,
+        1. FORWARD min-label propagation to a fixpoint: color(v) = min id
+           that reaches v;
+        2. the color-class roots (id == color) are SCC anchors, and every
+           SCC lies entirely inside its root's color class (a smaller
+           outside id reaching any member would reach the root too —
+           contradiction), so
+        3. BACKWARD reachability from each root along SAME-COLOR edges
+           marks exactly that root's SCC;
+        4. assigned vertices leave; repeat.
+
+        Each round settles at least every root's SCC; a pure path graph
+        degenerates to one SCC per round (the documented worst case —
+        GraphFrames' own SCC is similarly iterative), bounded by
+        ``maxIter``. Raises if the budget exhausts with vertices left,
+        rather than returning a partial labeling."""
+        remaining = self._v.select("id").localCheckpoint()
+        all_edges = (
+            self._e.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        parts: list[DataFrame] = []
+
+        def _fp(d: DataFrame, cols: list[str]) -> tuple:
+            row = d.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64(*cols).cast("decimal(38,0)")), F.lit(0)
+                ).alias("h"),
+            ).first()
+            return int(row["n"]), int(row["h"])
+
+        for _ in range(maxIter):
+            if remaining.isEmpty():
+                break
+            e = (
+                all_edges.join(
+                    remaining.withColumnRenamed("id", "src"), "src", "semi"
+                )
+                .join(remaining.withColumnRenamed("id", "dst"), "dst", "semi")
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+            # 1. forward min-color propagation to fixpoint
+            color = remaining.select("id", F.col("id").alias("color"))
+            prev = None
+            while True:
+                cand = e.join(
+                    color.withColumnRenamed("id", "src"), "src"
+                ).select(F.col("dst").alias("id"), "color")
+                color = (
+                    color.unionByName(cand)
+                    .groupBy("id")
+                    .agg(F.min("color").alias("color"))
+                    .localCheckpoint()
+                )
+                fp = _fp(color, ["id", "color"])
+                if fp == prev:
+                    break
+                prev = fp
+            # 3. backward reach from roots along same-color edges
+            ce = (
+                e.join(color.withColumnRenamed("id", "src"), "src")
+                .withColumnRenamed("color", "_cs")
+                .join(
+                    color.select(
+                        F.col("id").alias("dst"), F.col("color").alias("_cd")
+                    ),
+                    "dst",
+                )
+                .filter(F.col("_cs") == F.col("_cd"))
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+            reach = color.filter(F.col("id") == F.col("color")).select(
+                "id", "color"
+            )
+            prev = None
+            while True:
+                back = (
+                    ce.join(reach.withColumnRenamed("id", "dst"), "dst")
+                    .select(F.col("src").alias("id"), "color")
+                )
+                reach = (
+                    reach.unionByName(back)
+                    .groupBy("id")
+                    .agg(F.min("color").alias("color"))
+                    .localCheckpoint()
+                )
+                fp = _fp(reach, ["id", "color"])
+                if fp == prev:
+                    break
+                prev = fp
+            assigned = reach.select("id", F.col("color").alias("component"))
+            parts.append(assigned)
+            remaining = remaining.join(
+                assigned.select("id"), "id", "anti"
+            ).localCheckpoint()
+        else:
+            if not remaining.isEmpty():
+                raise RuntimeError(
+                    f"SCC did not settle within maxIter={maxIter} rounds"
+                )
+        if not parts:  # empty vertex frame
+            return self._v.select(
+                "id", F.col("id").alias("component")
+            ).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def kCore(
         self, k: int, maxIter: int | None = None, rounds: int | None = None

@@ -415,3 +415,87 @@ def test_clustering_coefficient_golden(g, spark):
         "y": (0, 1, 0.0),
         "z": (0, 0, 0.0),
     }
+
+
+def test_scc_matches_python_tarjan(spark):
+    from smartlogic_concordance_transformer_spark.graph import GraphFrame
+
+    # deterministic digraph: a 3-cycle, a 2-cycle hanging off it, a chain,
+    # an isolated vertex, plus cross edges that must NOT merge components
+    E = [
+        ("a", "b"), ("b", "c"), ("c", "a"),          # SCC {a,b,c}
+        ("c", "d"), ("d", "e"), ("e", "d"),          # SCC {d,e}
+        ("e", "f"), ("f", "g"),                      # chain: singletons
+        ("g", "b"),                                  # back edge crossing SCCs?
+    ]
+    # g->b plus b..c->d->e->f->g closes a big cycle: recompute truth with
+    # Tarjan rather than by eye
+    V = sorted({x for p in E for x in p} | {"iso"})
+    e = spark.createDataFrame(E, "src string, dst string")
+    v = spark.createDataFrame([(x,) for x in V], "id string")
+    got = {r.id: r.component
+           for r in GraphFrame(v, e).stronglyConnectedComponents().collect()}
+
+    import sys
+    sys.setrecursionlimit(10000)
+    adj = {}
+    for s, d in E:
+        adj.setdefault(s, []).append(d)
+    index, low, onstack, stack, out = {}, {}, set(), [], {}
+    counter = [0]
+
+    def strongconnect(u):
+        index[u] = low[u] = counter[0]
+        counter[0] += 1
+        stack.append(u)
+        onstack.add(u)
+        for w in adj.get(u, []):
+            if w not in index:
+                strongconnect(w)
+                low[u] = min(low[u], low[w])
+            elif w in onstack:
+                low[u] = min(low[u], index[w])
+        if low[u] == index[u]:
+            comp = []
+            while True:
+                w = stack.pop()
+                onstack.discard(w)
+                comp.append(w)
+                if w == u:
+                    break
+            root = min(comp)
+            for w in comp:
+                out[w] = root
+
+    for u in V:
+        if u not in index:
+            strongconnect(u)
+    assert got == out
+    assert got["iso"] == "iso"
+
+
+def test_personalized_pagerank_matches_numpy(g):
+    import numpy as np
+    import pytest as _pytest
+
+    ids = sorted(v[0] for v in V)
+    idx = {v: i for i, v in enumerate(ids)}
+    out_deg = np.zeros(len(ids))
+    for s, _ in E:
+        out_deg[idx[s]] += 1
+    src = idx["a"]
+    pr = np.zeros(len(ids))
+    pr[src] = 1.0
+    for _ in range(10):
+        mass = np.zeros(len(ids))
+        for s, d in E:
+            mass[idx[d]] += pr[idx[s]] / out_deg[idx[s]]
+        nxt = 0.85 * mass
+        nxt[src] += 0.15
+        pr = nxt
+    got = {r.id: r.pagerank
+           for r in g.pageRank(maxIter=10, sourceId="a").vertices.collect()}
+    for v in ids:
+        assert got[v] == _pytest.approx(pr[idx[v]], rel=1e-9, abs=1e-12), v
+    # mass concentrates near the source: a beats the disconnected x/y/z
+    assert got["a"] > got["x"] == got["y"] == got["z"] == 0.0
