@@ -293,3 +293,39 @@ def test_streaming_semantic_kernel_equals_backfill(spark, tmp_path):
         )
         base = na if base is None else base.unionByName(na)
     assert got_pairs == expected
+
+
+def test_streaming_posting_store_equals_sequential(spark, tmp_path):
+    # the PostingStore wired as a foreachBatch sink over a file-source
+    # stream must equal the sequential two-ingest backfill
+    from smartlogic_concordance_transformer_spark.datapipe.ranking import (
+        PostingStore,
+        inverted_index,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    rows0 = [(1, "alpha beta gamma"), (2, "beta gamma delta")]
+    rows1 = [(3, "gamma delta epsilon"), (4, "alpha epsilon")]
+
+    store = PostingStore(str(tmp_path / "idx"), n_buckets=8)
+    _write_batch(in_dir, "b0.json", rows0)
+    src = spark.readStream.schema(SCHEMA).json(in_dir)
+    q = (
+        src.writeStream.foreachBatch(lambda df, i: store.ingest(df, i))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(in_dir, "b1.json", rows1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.token: (r.df_t, tuple(r.postings))
+           for r in store.posting_lists(spark, min_df=1, max_df_frac=1.0).collect()}
+    all_docs = spark.createDataFrame(rows0 + rows1, SCHEMA)
+    want = {r.token: (r.df_t, tuple(r.postings))
+            for r in inverted_index(all_docs, min_df=1, max_df_frac=1.0).collect()}
+    assert got == want
