@@ -436,6 +436,14 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-document character-distribution Shannon entropy, the
+    # gibberish/filler quality signal — zero-shuffle in-row fold.
+    from smartlogic_concordance_transformer_spark.datapipe.text import char_entropy
+
+    return char_entropy(_spread(spark, _docs(spark, sf_dir)))
+
+
 def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local clustering coefficient over the same triangle-rich
     # two-generator graph as graph_triangles; exact wedge integers, one
@@ -2289,6 +2297,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "graph_clustering": q_graph_clustering,
         "graph_ppr": q_graph_ppr,
+        "text_entropy": q_text_entropy,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -2526,6 +2535,33 @@ def retired_oracle_sql() -> dict[str, str]:
                           - cast(p.shared as double)), 6) as jaccard
           from p join deg da on p.a = da.a
           join deg db on p.b = db.a
+        """,
+        # per-char counts via explode (the oracle need not be zero-shuffle,
+        # only equal); n derives from summed counts because DuckDB's
+        # string_split('','') yields [''] where Spark yields []
+        "text_entropy": """
+          with ch as (
+            select doc_id, unnest(string_split(coalesce(text, ''), '')) as c
+            from documents),
+          cc as (select doc_id, c, count(*) as cnt
+                 from ch where c <> '' group by 1, 2),
+          nn as (
+            select d.doc_id, cast(coalesce(s.n, 0) as int) as n_chars
+            from documents d
+            left join (select doc_id, sum(cnt) as n from cc group by 1) s
+              using (doc_id)),
+          t as (
+            select cc.doc_id,
+                   round(-((cast(cnt as double) / cast(nn.n_chars as double))
+                           * ln(cast(cnt as double) / cast(nn.n_chars as double))),
+                         9) as term
+            from cc join nn using (doc_id))
+          select nn.doc_id, nn.n_chars,
+                 case when nn.n_chars = 0 then 0.0
+                      else round(cast(sum(cast(t.term as decimal(28,9))) as double), 6)
+                 end as entropy
+          from nn left join t using (doc_id)
+          group by nn.doc_id, nn.n_chars
         """,
         # the pagerank unroll with source-only init and reset terms
         "graph_ppr": """

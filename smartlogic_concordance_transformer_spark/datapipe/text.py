@@ -1161,3 +1161,52 @@ def quality_classifier(
         logit.alias("logit"),
         (logit > F.lit(float(threshold))).alias("keep"),
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy of the character distribution per document —
+    the gibberish/boilerplate signal quality stacks threshold on (low
+    entropy = repeated filler, very high = random noise):
+    ``H = -sum_c p_c * ln(p_c)`` in nats over the document's own
+    characters. Returns (key_col, n_chars, entropy); empty/null text
+    scores 0.0 over 0 chars.
+
+    ZERO-SHUFFLE pure projection (the repetition-fold discipline): per
+    row, the distinct-character array drives an in-row fold whose terms
+    count occurrences with ``size(filter(...))`` — O(distinct_chars *
+    n_chars) comparisons inside codegen, no explode, no Exchange.
+    Cross-engine float discipline: each term is one division + one
+    ``ln`` + one multiply rounded to 9 dp, accumulated in decimal(28,9)
+    (the fold order is fixed but the ORACLE aggregates in arbitrary
+    order — decimals make both order-free), final round to 6 dp.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    # split('', '') yields [''] (one empty string — show() renders it
+    # deceptively as []), so strip empty elements to make n_chars 0 for
+    # empty/null text; nonempty splits never contain ''
+    cs = F.array_remove(F.split(c, ""), "")
+    n = F.size(cs)
+    distinct = F.array_distinct(cs)
+
+    def _term(ch: Column) -> Column:
+        cnt = F.size(F.filter(cs, lambda x: x == ch))
+        p = cnt.cast("double") / n.cast("double")
+        return F.round(-(p * F.log(p)), 9).cast("decimal(28,9)")
+
+    # decimal addition widens (28,9)+(28,9) -> (29,9); the fold's merge
+    # must return the seed's exact type, so cast back each step (entropy
+    # is <= ln(alphabet) — nowhere near the precision bound)
+    ent = F.aggregate(
+        distinct,
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, ch: (acc + _term(ch)).cast("decimal(28,9)"),
+    )
+    return df.select(
+        F.col(key_col),
+        n.alias("n_chars"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(ent.cast("double"), 6))
+        .alias("entropy"),
+    )

@@ -2674,3 +2674,46 @@ def test_posting_store_lookup_semantics_and_pruning(spark, tmp_path):
     assert scan and any("tb" in l for l in scan), plan
     with _pytest.raises(ValueError, match="n_buckets"):
         PostingStore("/tmp/x", n_buckets=0)
+
+
+def test_char_entropy_matches_python(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.text import char_entropy
+
+    rows = [
+        (1, "aaaa"),            # zero entropy
+        (2, "abab"),            # 1 bit = ln 2 nats
+        (3, "abcd"),            # ln 4
+        (4, ""),                # empty -> 0.0 over 0 chars
+        (5, None),              # null -> same as empty
+        (6, "mississippi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_chars, r.entropy) for r in char_entropy(df).collect()}
+
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    want = {}
+    for d, t in rows:
+        t = t or ""
+        n = len(t)
+        if n == 0:
+            want[d] = (0, 0.0)
+            continue
+        total = Decimal(0)
+        for cnt in Counter(t).values():
+            p = cnt / n
+            total += Decimal(repr(round(-(p * math.log(p)), 9)))
+        want[d] = (n, round(float(total), 6))
+    assert got == want
+    assert want[2][1] == round(math.log(2), 6)
+
+
+def test_char_entropy_is_zero_shuffle(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.text import char_entropy
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    plan = char_entropy(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode either — pure fold
