@@ -436,6 +436,17 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-user anomalous days over the DENSE daily grid (empty days count
+    # as zero — silence flags too); two-phase decimal stats joined back.
+    from smartlogic_concordance_transformer_spark.datapipe.timeseries import (
+        anomalous_buckets,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return anomalous_buckets(e, unit="day", z_threshold=2.0)
+
+
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-document character-distribution Shannon entropy, the
     # gibberish/filler quality signal — zero-shuffle in-row fold.
@@ -2298,6 +2309,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering": q_graph_clustering,
         "graph_ppr": q_graph_ppr,
         "text_entropy": q_text_entropy,
+        "events_anomaly": q_events_anomaly,
         # swapped INTO the driver gate in favour of these (round 6):
         # text_fingerprint is a one-expression projection — the
         # substring-dedup and LM-perplexity operators carry far more
@@ -2535,6 +2547,44 @@ def retired_oracle_sql() -> dict[str, str]:
                           - cast(p.shared as double)), 6) as jaccard
           from p join deg da on p.a = da.a
           join deg db on p.b = db.a
+        """,
+        # the dense-grid zscore: grid replay + identical stat op order
+        "events_anomaly": """
+          with a as (
+            select user_id, date_trunc('day', ts) as bucket,
+                   sum(cast(value as decimal(18,6))) as total
+            from events group by 1, 2),
+          g as (
+            select user_id,
+                   unnest(generate_series(min(bucket), max(bucket),
+                                          interval 1 day)) as bucket
+            from a group by user_id),
+          rows_ as (
+            select g.user_id, g.bucket,
+                   cast(coalesce(a.total, 0) as decimal(18,6)) as x
+            from g left join a using (user_id, bucket)),
+          st as (
+            select user_id, count(*) as m, sum(x) as s, sum(x * x) as ss
+            from rows_ group by user_id)
+          select r.user_id, r.bucket, r.x as total,
+                 round((cast(r.x as double)
+                        - (cast(st.s as double) / cast(st.m as double)))
+                       / sqrt((cast(st.ss as double)
+                               - cast(st.s as double) * cast(st.s as double)
+                                 / cast(st.m as double))
+                              / (cast(st.m as double) - 1.0)), 6) as z
+          from rows_ r join st using (user_id)
+          where st.m >= 2
+            and (cast(st.ss as double)
+                 - cast(st.s as double) * cast(st.s as double)
+                   / cast(st.m as double))
+                / (cast(st.m as double) - 1.0) > 0
+            and abs(round((cast(r.x as double)
+                           - (cast(st.s as double) / cast(st.m as double)))
+                          / sqrt((cast(st.ss as double)
+                                  - cast(st.s as double) * cast(st.s as double)
+                                    / cast(st.m as double))
+                                 / (cast(st.m as double) - 1.0)), 6)) > 2.0
         """,
         # per-char counts via explode (the oracle need not be zero-shuffle,
         # only equal); n derives from summed counts because DuckDB's

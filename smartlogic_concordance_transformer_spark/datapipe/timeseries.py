@@ -80,3 +80,58 @@ def resample_gapfill(
             F.last("total", ignorenulls=True).over(w).alias("filled"),
         )
     )
+
+
+def anomalous_buckets(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "day",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-key anomaly flags over the DENSE resampled grid: buckets whose
+    total deviates more than ``z_threshold`` standard deviations from the
+    key's own mean — including empty buckets as zeros, so an unusually
+    QUIET period flags too (raw aggregates can't see silence; the gap
+    fill is what makes it visible). Returns (key, bucket, total, z) for
+    flagged buckets; keys with fewer than 2 buckets or zero variance
+    drop out.
+
+    Two-phase stats (the events_zscore discipline): per-key mean/std
+    derive from exact decimal sum and sum-of-squares aggregates joined
+    back — never a per-key window sort; z is IEEE ops in a fixed order
+    rounded to 6 dp, so the DuckDB replay is bit-identical.
+    """
+    grid = resample_gapfill(df, key_col, ts_col, value_col, unit)
+    xd = F.coalesce(F.col("total"), F.lit(0)).cast("decimal(18,6)")
+    # consumed by the stats aggregate AND the join back — cut the lineage
+    # so the grid assembly runs once
+    rows = grid.select(key_col, "bucket", xd.alias("_x")).localCheckpoint(
+        eager=False
+    )
+    stats = rows.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_ss"),
+    )
+    m = F.col("_m").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    mean = s / m
+    std = F.sqrt((ss - s * s / m) / (m - F.lit(1.0)))
+    z = F.round((F.col("_x").cast("double") - mean) / std, 6)
+    # variance > 0 guards the zero-variance key explicitly (otherwise a
+    # 1-ulp x-vs-mean residual divided by std=0 would flag as +-inf)
+    var = (ss - s * s / m) / (m - F.lit(1.0))
+    return (
+        rows.join(F.broadcast(stats), key_col)
+        .filter((F.col("_m") >= 2) & (var > 0))
+        .select(
+            key_col,
+            "bucket",
+            F.col("_x").alias("total"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > F.lit(float(z_threshold)))
+    )

@@ -304,3 +304,33 @@ def test_resample_gapfill_golden(spark):
     }
     with _pytest.raises(ValueError, match="unit"):
         resample_gapfill(df, unit="fortnight")
+
+
+def test_anomalous_buckets_flags_spike_and_silence(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.timeseries import (
+        anomalous_buckets,
+    )
+    import datetime as dt
+
+    d0 = dt.datetime(2024, 5, 1, 12, 0)
+    rows = []
+    # user 1: steady 10/day for 12 days, except day 6 empty (silence)
+    # and day 9 a 100-value spike
+    for i in range(12):
+        if i == 6:
+            continue
+        v = 100.0 if i == 9 else 10.0
+        rows.append((1, d0 + dt.timedelta(days=i), v))
+    # user 2: constant value every day -> zero variance, must drop out
+    for i in range(5):
+        rows.append((2, d0 + dt.timedelta(days=i), 3.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {(r.user_id, r.bucket.day): float(r.z)
+           for r in anomalous_buckets(df, unit="day", z_threshold=2.0).collect()}
+    assert set(got) == {(1, 10)}, got       # only the spike clears 2 sigma
+    assert got[(1, 10)] > 2.0
+    # at a looser threshold the silent day flags too (negative z)
+    loose = {(r.user_id, r.bucket.day): float(r.z)
+             for r in anomalous_buckets(df, unit="day", z_threshold=0.5).collect()}
+    assert loose[(1, 7)] < -0.5             # day index 6 -> May 7
+    assert all(u != 2 for u, _ in loose), "zero-variance key must drop out"
