@@ -1210,3 +1210,51 @@ def char_entropy(
         .otherwise(F.round(ent.cast("double"), 6))
         .alias("entropy"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document
+    (``compressed_bytes / raw_bytes`` of the UTF-8 text) — the
+    redundancy signal web-corpus filters pair with [`char_entropy`]:
+    boilerplate and template spam compress far below prose. Returns
+    (key_col, n_bytes, ratio) with ratio rounded to 6 dp; empty/null
+    text scores ratio 0.0 over 0 bytes.
+
+    This is a LIBRARY-backed operator: DEFLATE is not expressible in
+    either engine's SQL, so there is no cross-engine oracle — the
+    contract is pure-Python parity (same zlib, asserted in pytest) and
+    determinism (zlib output is deterministic for a given level). The
+    UDF is an Arrow-batched pandas_udf (one Python call per batch,
+    never per row); everything else is a projection — zero shuffle.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+    if not 1 <= lvl <= 9:
+        raise ValueError("level must be in 1..9")
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf hint-inference can't resolve for local closures
+    @pandas_udf("double")
+    def _ratio(texts):
+        def one(t):
+            if t is None or t == "":
+                return 0.0
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, lvl)) / len(raw), 6)
+
+        return texts.map(one)
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(key_col),
+        F.octet_length(c).alias("n_bytes"),
+        _ratio(F.col(text_col)).alias("ratio"),
+    )

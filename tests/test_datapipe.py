@@ -2717,3 +2717,33 @@ def test_char_entropy_is_zero_shuffle(spark):
     plan = char_entropy(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan  # no explode either — pure fold
+
+
+def test_compression_ratio_matches_zlib(spark):
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        compression_ratio,
+    )
+    import zlib
+    import pytest as _pytest
+
+    rows = [
+        (1, "a" * 400),                          # highly compressible
+        (2, "the quick brown fox " * 20),
+        (3, ""),                                 # empty -> 0.0 / 0 bytes
+        (4, None),
+        (5, "x1y2z3 " + "qwertyuiopasdfgh" * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bytes, r.ratio)
+           for r in compression_ratio(df, level=6).collect()}
+    want = {}
+    for d, t in rows:
+        raw = (t or "").encode("utf-8")
+        want[d] = (
+            len(raw),
+            0.0 if not raw else round(len(zlib.compress(raw, 6)) / len(raw), 6),
+        )
+    assert got == want
+    assert got[1][1] < 0.1 < got[5][1], "filler must compress far below prose"
+    with _pytest.raises(ValueError, match="level"):
+        compression_ratio(df, level=0)
