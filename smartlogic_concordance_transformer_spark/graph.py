@@ -303,6 +303,67 @@ class GraphFrame:
                 ranks = new_ranks
         return GraphFrame(self._v.join(ranks, "id"), self._e)
 
+    def parallelPersonalizedPageRank(
+        self,
+        sourceIds: list,
+        resetProbability: float = 0.15,
+        maxIter: int = 10,
+    ) -> DataFrame:
+        """Personalized PageRank from EVERY source in one pass
+        (GraphFrames API parity): returns (id, source, rank) — the rank
+        of ``id`` personalized to ``source``. Instead of |S| separate
+        loops, the rank state carries a source column ((id, source)
+        grain, |V|x|S| rows at most — in practice only vertices a source
+        reaches) and each iteration is ONE edges-joined aggregation
+        grouped by (dst, source): the per-source problems share every
+        shuffle. Vertices a source never reaches are omitted (their rank
+        is 0)."""
+        if not sourceIds:
+            raise ValueError("sourceIds must be non-empty")
+        alpha = float(resetProbability)
+        edges = (
+            self._e.select("src", "dst")
+            .join(self.outDegrees.withColumnRenamed("id", "src"), "src")
+            .repartition("src")
+            .localCheckpoint()
+        )
+        sources = F.array(*[F.lit(s) for s in sourceIds])
+        ranks = self._v.select(
+            F.col("id"), F.explode(sources).alias("source")
+        ).filter(F.col("id") == F.col("source")).select(
+            "id", "source", F.lit(1.0).alias("rank")
+        )
+        resets = self._v.select(
+            F.col("id"), F.explode(sources).alias("source")
+        ).select(
+            "id",
+            "source",
+            F.when(F.col("id") == F.col("source"), F.lit(alpha))
+            .otherwise(F.lit(0.0))
+            .alias("_reset"),
+        ).localCheckpoint()
+        for _ in range(maxIter):
+            contribs = (
+                edges.join(ranks.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"), "source")
+                .agg(F.sum(F.col("rank") / F.col("outDegree")).alias("_mass"))
+            )
+            ranks = (
+                resets.join(contribs, ["id", "source"], "left")
+                .select(
+                    "id",
+                    "source",
+                    (
+                        F.col("_reset")
+                        + F.lit(1.0 - alpha)
+                        * F.coalesce(F.col("_mass"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .filter(F.col("rank") > 0.0)
+                .localCheckpoint()
+            )
+        return ranks
+
     def labelPropagation(self, maxIter: int = 5) -> DataFrame:
         """Community detection: each round every vertex adopts its
         neighbors' most frequent label (ties -> min label, so runs are

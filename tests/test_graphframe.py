@@ -499,3 +499,21 @@ def test_personalized_pagerank_matches_numpy(g):
         assert got[v] == _pytest.approx(pr[idx[v]], rel=1e-9, abs=1e-12), v
     # mass concentrates near the source: a beats the disconnected x/y/z
     assert got["a"] > got["x"] == got["y"] == got["z"] == 0.0
+
+
+def test_parallel_personalized_pagerank_matches_single_source(g):
+    import pytest as _pytest
+
+    multi = {(r.source, r.id): r.rank
+             for r in g.parallelPersonalizedPageRank(["a", "x"], maxIter=8).collect()}
+    for s in ("a", "x"):
+        single = {r.id: r.pagerank
+                  for r in g.pageRank(maxIter=8, sourceId=s).vertices.collect()}
+        for v, pr in single.items():
+            got = multi.get((s, v), 0.0)
+            assert got == _pytest.approx(pr, rel=1e-12, abs=1e-15), (s, v)
+    # unreachable rows are omitted, not zero-filled
+    assert ("x", "a") not in multi and ("a", "x") not in multi
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        g.parallelPersonalizedPageRank([])
