@@ -124,8 +124,11 @@ def anomalous_buckets(
     # variance > 0 guards the zero-variance key explicitly (otherwise a
     # 1-ulp x-vs-mean residual divided by std=0 would flag as +-inf)
     var = (ss - s * s / m) / (m - F.lit(1.0))
+    # no broadcast HINT: stats is KEY-COUNT-sized (one row per key — at
+    # corpus scale that's billions); AQE broadcasts it when it is small,
+    # and the hash join co-partitions with the grid otherwise
     return (
-        rows.join(F.broadcast(stats), key_col)
+        rows.join(stats, key_col)
         .filter((F.col("_m") >= 2) & (var > 0))
         .select(
             key_col,
