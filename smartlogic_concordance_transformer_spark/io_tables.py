@@ -656,3 +656,25 @@ def snapshot_diff(
             *[f"new_{c}" for c in vals],
         )
     )
+
+
+def diff_to_changeset(diff: DataFrame, keys: list[str], seq: int = 0) -> DataFrame:
+    """Bridge ``snapshot_diff`` output into an ``apply_changeset`` /
+    ``ChangesetStore.apply`` batch — the incremental-publish loop for a
+    nightly KG rebuild: recompute the graph, DIFF against the published
+    snapshot, and apply ONLY the delta (the store rewrite is sized by
+    what changed, not by the corpus). 'removed' rows become
+    ``op='delete'`` tombstones; 'added'/'changed' rows become upserts
+    carrying the NEW values. All rows share one ``seq`` (a diff has at
+    most one change per key by construction, so latest-wins ordering
+    within the batch is moot — cross-batch ordering is the caller's
+    ``seq``)."""
+    vals = [c[len("new_"):] for c in diff.columns if c.startswith("new_")]
+    return diff.select(
+        *keys,
+        *[F.col(f"new_{c}").alias(c) for c in vals],
+        F.lit(int(seq)).alias("seq"),
+        F.when(F.col("change") == "removed", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )

@@ -565,3 +565,45 @@ def test_orc_and_csv_roundtrip_match_parquet(spark, tmp_path):
     src.write.option("header", True).csv(csv_p)
     back = spark.read.schema(src.schema).option("header", True).csv(csv_p)
     assert {tuple(r) for r in back.collect()} == want
+
+
+def test_diff_publish_roundtrip_equals_rebuild(spark, tmp_path):
+    # nightly incremental publish: v2 = apply(diff(v1, v2)) on a store
+    # initialized at v1 — only the delta is written, result equals v2
+    from smartlogic_concordance_transformer_spark.io_tables import (
+        ChangesetStore,
+        apply_changeset,
+        diff_to_changeset,
+        snapshot_diff,
+    )
+
+    v1 = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s2", "p", "o2"), ("s3", "p", "o3")],
+        "subj string, pred string, obj string",
+    )
+    v2 = spark.createDataFrame(
+        [("s1", "p", "o1"),        # unchanged
+         ("s2", "p", "oX"),        # changed
+         ("s4", "p", "o4")],       # added; s3 removed
+        "subj string, pred string, obj string",
+    )
+    keys = ["subj", "pred"]
+    ch = diff_to_changeset(snapshot_diff(v1, v2, keys), keys, seq=7)
+    assert set(ch.columns) == {"subj", "pred", "obj", "seq", "op"}
+
+    # pure-frame merge
+    got = apply_changeset(v1, ch, keys)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in v2.collect()
+    )
+
+    # durable store: only affected buckets rewrite, read-back equals v2
+    store = ChangesetStore(str(tmp_path / "kg"), keys, n_buckets=8)
+    store.init(v1)
+    store.apply(ch)
+    back = sorted(tuple(r) for r in store.read(spark).collect())
+    assert back == sorted(tuple(r) for r in v2.collect())
+
+    # an empty diff publishes nothing and changes nothing
+    ch2 = diff_to_changeset(snapshot_diff(v2, v2, keys), keys, seq=8)
+    assert ch2.count() == 0
