@@ -607,3 +607,48 @@ def test_diff_publish_roundtrip_equals_rebuild(spark, tmp_path):
     # an empty diff publishes nothing and changes nothing
     ch2 = diff_to_changeset(snapshot_diff(v2, v2, keys), keys, seq=8)
     assert ch2.count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _snapshot(entries):
+    # entries: dict key -> (obj, flag) — unique keys by construction
+    return [(k, v[0], v[1]) for k, v in sorted(entries.items())]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)), st.booleans()),
+        max_size=8,
+    ),
+    st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)), st.booleans()),
+        max_size=8,
+    ),
+)
+def test_diff_publish_roundtrip_property(spark, v1e, v2e):
+    # for ANY two keyed snapshots (nullable values, overlapping or
+    # disjoint key sets), applying the diff-derived changeset to v1
+    # reproduces v2 exactly
+    from smartlogic_concordance_transformer_spark.io_tables import (
+        apply_changeset,
+        diff_to_changeset,
+        snapshot_diff,
+    )
+
+    schema = "k string, obj int, flag boolean"
+    v1 = spark.createDataFrame(_snapshot(v1e) or [("zz", None, True)], schema)
+    v2 = spark.createDataFrame(_snapshot(v2e) or [("zz", None, True)], schema)
+    ch = diff_to_changeset(snapshot_diff(v1, v2, ["k"]), ["k"], seq=1)
+    got = sorted(tuple(r) for r in apply_changeset(v1, ch, ["k"]).collect())
+    want = sorted(tuple(r) for r in v2.collect())
+    assert got == want
