@@ -1,9 +1,16 @@
 """Text analysis: language-ID, quality scoring, token counting, document
-fingerprinting. All native Column expressions (codegen, oracle-checkable).
+fingerprinting. Native Column expressions (codegen, oracle-checkable),
+plus an Arrow-batched kernel for the repetition statistics (the one
+operator whose pure-SQL form is a large interpreted higher-order-function
+fold — see ``repetition_stats``).
 """
 
 from __future__ import annotations
 
+import re as _pyre
+from collections import Counter
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,15 +99,36 @@ def detect_language(text: Column | str) -> Column:
     cjk = (n_kana + n_hangul + n_han) * 5 >= floor
 
     toks = F.array_distinct(_tokens(c))
-    scores = [
-        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
-        for lang, words in STOPWORDS.items()
-    ]
-    best = F.greatest(*[s for _, s in scores])
-    out = F.lit("und")
-    # reversed so earlier dict entries win ties (deterministic)
-    for lang, s in reversed(scores):
-        out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
+    # One unconditional array of per-language hit counts, then argmax via
+    # array_max + array_position (first position of the max -> earlier
+    # dict entries win ties, exactly the old reversed-when chain's rule).
+    # The count array is LET-BOUND through a single-element transform so
+    # it is evaluated exactly once per row: it sits inside conditional
+    # branches (the coalesce fallback, the best>0 test, the position
+    # lookup), and conditional branches are excluded from common-
+    # subexpression elimination — the old chain re-evaluated the N
+    # intersects (and the tokenizer under them) once per reference.
+    # Measured at sf0.1 local[32]: langid exec 1.55s -> 0.78s,
+    # decision-identical.
+    scores_arr = F.array(
+        *[
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+            for words in STOPWORDS.values()
+        ]
+    )
+    langs_arr = F.array(*[F.lit(lang) for lang in STOPWORDS])
+    out = F.get(
+        F.transform(
+            F.array(scores_arr),
+            lambda sa: F.when(
+                F.array_max(sa) > 0,
+                F.element_at(
+                    langs_arr, F.array_position(sa, F.array_max(sa)).cast("int")
+                ),
+            ).otherwise(F.lit("und")),
+        ),
+        0,
+    )
     decision = (
         F.when(cjk & (n_kana > 0), F.lit("ja"))
         .when(cjk & (n_hangul > 0), F.lit("ko"))
@@ -186,6 +214,143 @@ def _dup_frac(items: Column) -> Column:
     )
 
 
+# Java \s for the whitespace tokenizer's Python replica: ASCII-only
+# [ \t\n\x0B\f\r], NOT Python's Unicode \s — a NBSP/U+2028 must stay part
+# of its token in both engines.
+_JAVA_WS = _pyre.compile("[ \t\n\x0b\f\r]+")
+
+
+def _repetition_arrow(
+    df: DataFrame,
+    c: Column,
+    key_col: str,
+    ns: tuple[int, ...],
+    char_dup_ns: tuple[int, ...],
+    char_coverage_ns: tuple[int, ...],
+) -> DataFrame:
+    """Arrow-batched repetition kernel: every statistic computed per
+    document in one pandas UDF, value-identical to the SQL fold.
+
+    Why a Python kernel here (the same argument as pyfold.py's KG fold):
+    the ``via='fold'`` form is a chain of higher-order array functions —
+    per gram size an array_sort over (hash, len[, pos]) structs plus an
+    ``aggregate`` fold — and Spark evaluates HOF lambdas interpreted
+    (CodegenFallback), re-walking the Catalyst expression tree per array
+    element. Building the same integer counts with tokenized tuples and
+    a Counter is several times faster per document AND removes both the
+    ~1s of py4j Column-tree construction and the Catalyst/codegen cost
+    of the giant projection (measured at sf0.1 local[32]:
+    text_repetition 3.9s -> see OPTIMIZATION_r08.md; plan shrinks to
+    scan -> ArrowEvalPython -> project). Still one scan, zero shuffle,
+    zero explode — the operator stays a pure per-document projection.
+
+    Exactness contract (pinned by
+    ``test_repetition_arrow_equals_fold``): the tokenizer replicates the
+    JVM semantics used by ``ws_tokens``/``shingles`` — Java ``\\s`` is
+    ASCII-only, ``F.trim`` strips 0x20 only, ``split`` on a single
+    space, ``lower`` full Unicode — gram counts are exact integers,
+    divisions are the same int/int -> IEEE-double, and the final
+    round(6) happens JVM-side through the identical ``F.round``. Gram
+    equality compares the token tuples themselves (collision-free),
+    where the fold compares xxhash64(gram) — identical counts unless
+    two distinct grams of one document collide in 64 bits (p ~ 1e-15,
+    and the hash path would then be the WRONG one vs the string-keyed
+    oracle).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    ns = tuple(ns)
+    cds = tuple(char_dup_ns)
+    cov = tuple(sorted(set(char_coverage_ns)))
+    fields = (
+        ["dup_word_frac", "dup_line_frac", "dup_para_frac"]
+        + [f"top_{n}gram_frac" for n in ns]
+        + [f"dup_{n}gram_char_frac" for n in cds]
+        + [f"dup_{n}gram_char_coverage" for n in cov]
+    )
+    schema = T.StructType([T.StructField(f, T.DoubleType()) for f in fields])
+    all_ns = sorted(set(ns) | set(cds) | set(cov))
+    cov_set = set(cov)
+
+    def one(s: str) -> tuple:
+        toks = _JAVA_WS.sub(" ", s).lower().strip(" ").split(" ")
+        W = len(toks)  # >= 1: ''.split(' ') == ['']
+        out = [(W - len(set(toks))) / W]
+        for sep in ("\n", "\n\n"):
+            parts = [p.strip(" ") for p in s.split(sep)]
+            parts = [p for p in parts if p != ""]
+            np_ = len(parts)
+            out.append((np_ - len(set(parts))) / max(np_, 1))
+        L = [len(w) for w in toks]
+        tot_chars = sum(L) + W - 1
+        grams_by_n: dict[int, list] = {}
+        cnt_by_n: dict[int, Counter] = {}
+        for n in all_ns:
+            # count = greatest(W - n + 1, 1): short docs yield ONE
+            # truncated gram, exactly the shingles() rule
+            g = (
+                list(zip(*(toks[i:] for i in range(n))))
+                if W >= n
+                else [tuple(toks)]
+            )
+            if n in cov_set:
+                grams_by_n[n] = g
+            cnt_by_n[n] = Counter(g)
+        for n in ns:
+            cnt = cnt_by_n[n]
+            out.append(max(cnt.values()) / max(sum(cnt.values()), 1))
+        for n in cds:
+            dup = den = 0
+            for g, cv in cnt_by_n[n].items():
+                gl = sum(map(len, g)) + len(g) - 1
+                den += cv * gl
+                if cv > 1:
+                    dup += (cv - 1) * gl
+            out.append(dup / max(den, 1))
+        for n in cov:
+            seen: set = set()
+            P: list[int] = []
+            for i, g in enumerate(grams_by_n[n]):
+                if g in seen:
+                    P.append(i)
+                else:
+                    seen.add(g)
+            # the same word-walk as the fold: sep covered iff the end
+            # BEFORE this word's interval-open reaches it, word covered
+            # iff the end AFTER does
+            chars = 0
+            ptr = 0
+            end = -1
+            nP = len(P)
+            for j in range(W):
+                if j > 0 and end >= j:
+                    chars += 1
+                if ptr < nP and P[ptr] == j:
+                    end = j + n - 1
+                    ptr += 1
+                if end >= j:
+                    chars += L[j]
+            out.append(chars / max(tot_chars, 1))
+        return tuple(out)
+
+    @pandas_udf(schema)
+    def _rep_stats_udf(texts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [one(t) for t in texts], columns=fields, dtype="float64"
+        )
+
+    # deterministic, but the flag stops the optimizer duplicating the
+    # kernel below a pushed-down gate filter (two ArrowEvalPython nodes —
+    # the pyfold.py lesson)
+    rep_stats_udf = _rep_stats_udf.asNondeterministic()
+    staged = df.select(F.col(key_col), rep_stats_udf(c).alias("_st"))
+    return staged.select(
+        key_col,
+        *[F.round(F.col("_st")[f], 6).alias(f) for f in fields],
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -193,7 +358,7 @@ def repetition_stats(
     ns: tuple[int, ...] = (2, 3, 4),
     char_dup_ns: tuple[int, ...] = (),
     hash_grams: bool = True,
-    via: str = "fold",
+    via: str = "arrow",
     char_coverage_ns: tuple[int, ...] = (),
 ) -> DataFrame:
     """Gopher-style repetition filter inputs (Rae et al. 2021, app. A1):
@@ -232,12 +397,16 @@ def repetition_stats(
     [p, p+n-1] come out as a sorted position list, and one O(W) fold
     over the word stream merges the intervals while summing covered
     word lengths + covered separators (exactly the char-interval union,
-    since spans are word-aligned). Fold path only — the shuffle form's
-    explode discards positions.
+    since spans are word-aligned). Arrow/fold paths only — the shuffle
+    form's explode discards positions.
 
-    Plan (``via='fold'``, the default): every output is a PER-DOCUMENT
-    statistic, so nothing ever needs to leave the document's row — one
-    corpus scan, zero explode, zero joins, ZERO SHUFFLE. Per gram size
+    Plan (``via='arrow'``, the default since r8): every output is a
+    PER-DOCUMENT statistic, so nothing ever needs to leave the
+    document's row — one corpus scan, zero explode, zero joins, ZERO
+    SHUFFLE; the whole statistic set is computed by one Arrow-batched
+    pandas UDF (see ``_repetition_arrow`` for why that beats the
+    interpreted HOF fold, and the exactness contract). ``via='fold'``
+    keeps the pure-SQL zero-Python form, value-identical: per gram size
     the gram stream is sorted in-row (``array_sort``) and a single
     ``aggregate`` fold over the sorted array counts duplicate runs:
     the max run length is the top-gram count, and each occurrence beyond
@@ -277,16 +446,21 @@ def repetition_stats(
     int/int divisions) — pinned by
     ``tests/test_datapipe.py::test_repetition_fold_equals_shuffle``.
     """
-    if via not in ("fold", "shuffle"):
-        raise ValueError(f"via must be 'fold' or 'shuffle', got {via!r}")
-    if char_coverage_ns and via != "fold":
+    if via not in ("arrow", "fold", "shuffle"):
+        raise ValueError(f"via must be 'arrow', 'fold' or 'shuffle', got {via!r}")
+    if char_coverage_ns and via == "shuffle":
         raise ValueError(
-            "char_coverage_ns requires via='fold' — the shuffle form's "
-            "explode discards the gram positions the coverage union needs"
+            "char_coverage_ns requires via='arrow' or 'fold' — the shuffle "
+            "form's explode discards the gram positions the coverage union "
+            "needs"
         )
     from .dedup import shingles
 
     c = F.coalesce(F.col(text_col), F.lit(""))
+    if via == "arrow":
+        return _repetition_arrow(
+            df, c, key_col, ns, char_dup_ns, char_coverage_ns
+        )
     words = ws_tokens(c)
     lines = F.filter(
         F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != ""

@@ -312,6 +312,46 @@ def test_repetition_fold_equals_shuffle(spark):
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_repetition_arrow_equals_fold(spark):
+    # the r8 Arrow kernel vs the pure-SQL fold: independent
+    # implementations of the same per-document statistics must return
+    # bit-identical rows — on the real corpus AND on an adversarial set
+    # exercising the tokenizer's JVM-parity edges (empty text, null,
+    # whitespace-only, non-ASCII letters + case, NBSP which Java \s does
+    # NOT treat as whitespace, blank lines, short docs below every gram
+    # size, heavy exact repetition, overlapping duplicated grams)
+    from smartlogic_concordance_transformer_spark.datapipe import repetition_stats
+
+    adversarial = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "one"),
+        (4, "a b"),
+        (5, "spam " * 50),
+        (6, "a b c a b c a b c d"),
+        (7, "x\n\ny\n\nx\n\n  \n\nz"),
+        (8, "line1\nline1\n line1 \nLine1"),
+        (9, "Größe STRASSE Größe nbsp\xa0joined x nbsp\xa0joined"),
+        (10, "tab\tsep\ttab\tsep and ls and ls"),
+        (11, "İstanbul İSTANBUL istanbul i̇stanbul"),
+        (12, "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5 w1 w2"),
+    ]
+    adv = spark.createDataFrame(adversarial, "doc_id long, text string")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for frame in (docs, adv):
+        a = repetition_stats(
+            frame, ns=(2, 3), char_dup_ns=(2, 5), char_coverage_ns=(2, 5),
+            via="arrow",
+        )
+        b = repetition_stats(
+            frame, ns=(2, 3), char_dup_ns=(2, 5), char_coverage_ns=(2, 5),
+            via="fold",
+        )
+        assert a.columns == b.columns
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_repetition_fold_has_no_shuffle(spark):
     # every A1 statistic is per-document: the default fold form must stay
     # a pure projection — no Exchange, no explode-driven Generate — so at

@@ -316,7 +316,8 @@ def test_repetition_with_coverage_is_zero_shuffle(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     df = repetition_stats(
-        docs, ns=(2, 3, 4), char_dup_ns=(5, 10), char_coverage_ns=(5, 10)
+        docs, ns=(2, 3, 4), char_dup_ns=(5, 10), char_coverage_ns=(5, 10),
+        via="fold",
     )
     plan = _plan(df)
     assert "Exchange" not in plan
@@ -325,6 +326,30 @@ def test_repetition_with_coverage_is_zero_shuffle(spark):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "get(array_sort" not in opt
     assert "filter(array_sort" not in opt
+
+
+def test_repetition_arrow_is_zero_shuffle_single_kernel(spark):
+    # the r8 default: same per-document contract, computed by ONE
+    # Arrow-batched kernel — no Exchange, no Generate, and exactly one
+    # ArrowEvalPython (the asNondeterministic pin must keep the
+    # optimizer from duplicating it below a gate filter)
+    from pyspark.sql import functions as F
+
+    from smartlogic_concordance_transformer_spark.datapipe.text import (
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = repetition_stats(
+        docs, ns=(2, 3, 4), char_dup_ns=(5, 10), char_coverage_ns=(5, 10)
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # a downstream filter on a kernel output must not re-plan the kernel
+    gated = df.filter(F.col("dup_word_frac") <= 0.7)
+    assert _plan(gated).count("ArrowEvalPython") == 1
 
 
 def test_quality_classifier_is_zero_shuffle(spark):
