@@ -62,17 +62,25 @@ def _min_neighbor(edges: DataFrame, salt: int) -> DataFrame:
 
 def _large_star(edges: DataFrame, salt: int) -> DataFrame:
     # neighborhoods are over the undirected graph: symmetrize first
-    # (small-star output is directed, so this cannot be assumed)
+    # (small-star output is directed, so this cannot be assumed).
+    # r8: NO distinct on either end of this operator — the loop feeds it
+    # small-star output, which is distinct and strictly directed (u > v),
+    # so fwd ∪ rev cannot contain duplicates (a pair would need both
+    # orientations in the input); and even under duplicate input rows the
+    # groupBy-min is unaffected while the duplicate (v, m) outputs are
+    # absorbed by small-star's own distincts in the same round. Each
+    # removed distinct was a full Exchange per round — at sf0.1 the loop
+    # is bound by per-stage scheduling latency, and at scale by shuffled
+    # bytes; both shrink.
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    )
     m = _min_neighbor(sym, salt).withColumn("m", F.least(F.col("m"), F.col("u")))
     return (
         sym.filter(F.col("v") > F.col("u"))
         .join(m, "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -109,7 +117,23 @@ def connected_components(
     salt: int = 0,
 ) -> DataFrame:
     """Edge list -> (node, component); component = min node id reachable."""
-    cur = _symmetrize(edges, src, dst).localCheckpoint()
+    # canonical directed form (u > v, distinct) — the same invariant
+    # small-star output carries, so EVERY round's large-star sees a
+    # duplicate-free input (see _large_star); also halves the initial
+    # distinct vs materializing both orientations
+    cur = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     if cur.isEmpty():
         return cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
     prev_fp = None

@@ -57,6 +57,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NOTE (r8): a spark.sql.files.minPartitionNum=cores floor (+
+        # lower openCostInBytes) was tried and REVERTED with
+        # measurements: the big scan-bound job (the 600k-doc KG fold) is
+        # CPU-oversubscription-bound at local[N] (N JVM task threads + N
+        # Python workers on N cores), so extra splits bought nothing
+        # there, while every multi-stage query paid ~10-25% more in
+        # per-stage task overhead at bench scale. Fan-out operators that
+        # need parallelism ahead of an expensive stage spread explicitly
+        # (see __spark_entry__._spread). Details in OPTIMIZATION_r08.md.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
