@@ -4,8 +4,9 @@ Scale shapes:
 
 * exact: one hash + one groupBy (map-side combine) — the cheapest possible
   full-corpus dedup; at 100 TB the shuffle carries only (hash, key) pairs.
-* MinHash/LSH: signatures are computed in one explode + two partial-agg
-  groupBys (never a cross join); candidate generation is a self-join on
+* MinHash/LSH: signatures are per-document and computed with ZERO
+  shuffle (r8: one in-row fold over the hashed shingle array — see
+  ``minhash_signatures``); candidate generation is a self-join on
   (band, band_hash) buckets, i.e. proportional to collisions, not O(n^2).
 * SimHash: 64-bit fingerprints with ZERO shuffle — tokens are hashed
   in-row JVM-side (``transform`` + ``xxhash64``), then one Arrow-batched

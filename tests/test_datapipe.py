@@ -312,6 +312,33 @@ def test_repetition_fold_equals_shuffle(spark):
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_minhash_inrow_fold_equals_explode_agg(spark):
+    # the r8 in-row signature fold must be bit-equal to the former
+    # explode + per-seed min aggregation (the same xxhash64 chain with
+    # the same int-typed seeds) over the real corpus
+    from pyspark.sql import functions as F
+
+    from smartlogic_concordance_transformer_spark.datapipe.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = (
+        docs.select("doc_id", F.explode(shingles("text", 3)).alias("_sh"))
+        .select("doc_id", F.xxhash64("_sh").alias("_h"))
+        .groupBy("doc_id")
+        .agg(*[F.min(F.xxhash64(F.col("_h"), F.lit(s))).alias(f"m{s}") for s in range(16)])
+        .select("doc_id", F.array(*[f"m{s}" for s in range(16)]).alias("signature"))
+    )
+    a = {(r.doc_id, tuple(r.signature)) for r in ref.collect()}
+    b = {
+        (r.doc_id, tuple(r.signature))
+        for r in minhash_signatures(docs, k=3, num_hashes=16).collect()
+    }
+    assert a == b
+
+
 def test_repetition_arrow_equals_fold(spark):
     # the r8 Arrow kernel vs the pure-SQL fold: independent
     # implementations of the same per-document statistics must return
