@@ -244,7 +244,12 @@ def ingest_batch(
     cands = kernel.probe(new_sigs, base if base is not None else new_sigs.limit(0))
     (
         cands.withColumn("batch_id", F.lit(batch_id))
-        .repartition(1)  # candidate sets are tiny relative to the corpus
+        # r8: size-driven rebalance instead of an unconditional
+        # repartition(1). For the routine tiny candidate set AQE
+        # coalesces to one output file exactly as before; a pathological
+        # all-collide batch (candidates ~ O(batch^2)) now splits by
+        # advisory partition size instead of serializing one task.
+        .hint("rebalance")
         .write.mode("overwrite")
         .partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")

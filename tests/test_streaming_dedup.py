@@ -120,6 +120,25 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     assert sorted(map(tuple, got2.select("a", "b", "batch_id").collect())) == before_cand
 
 
+def test_all_collide_batch_still_ingests(spark, tmp_path):
+    # r8 (the round-7 watch item): the candidate sink no longer forces a
+    # single partition, so a pathological batch in which EVERY document
+    # is a near-duplicate of every other (candidates ~ O(batch^2)) must
+    # still ingest correctly — all n*(n-1)/2 pairs emitted, and a replay
+    # stays idempotent
+    store = str(tmp_path / "store")
+    n = 40
+    rows = [(i, _text(0)) for i in range(n)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    ingest_batch(spark, df, 0, store, **MH)
+    cands = read_candidates(spark, store)
+    got = _pairs(cands)
+    assert len(got) == n * (n - 1) // 2
+    assert all(a < b for a, b in got)
+    ingest_batch(spark, df, 0, store, **MH)  # replay: byte-identical
+    assert _pairs(read_candidates(spark, store)) == got
+
+
 def test_reingested_key_is_a_noop(spark, tmp_path):
     # a doc_id re-ingested in a LATER batch (routine in real streams)
     # must not accumulate a duplicate signature row or emit a degenerate
