@@ -137,18 +137,33 @@ def pretraining_pipeline(
     # and without the cut Catalyst re-optimizes a copy of it inlined into
     # every downstream consumer (quality, stats, hashing, shingling) —
     # at sf0.1 driver-side planning dominated wall time before the cut.
+    # r8: the stratum column rides the hygiene join (carry=) and the
+    # repetition statistics are computed IN-LINE on the cleaned frame —
+    # the former shape joined the stats frame back and joined the raw
+    # corpus again for the stratum, i.e. two corpus-keyed joins (at
+    # 100 TB: two full shuffles of corpus keys) for columns that are
+    # pure per-row functions of data already in hand.
     cleaned = (
         strip_boilerplate(
-            docs, text_col=text_col, key_col=key_col, min_docs=boilerplate_min_docs
+            docs,
+            text_col=text_col,
+            key_col=key_col,
+            min_docs=boilerplate_min_docs,
+            carry=(strata_col,),
         )
-        .select(key_col, scrub_pii(F.col("clean_text")).alias("clean"))
+        .select(key_col, strata_col, scrub_pii(F.col("clean_text")).alias("clean"))
     )
     cleaned = barrier(cleaned, "cleaned")
-    stats = repetition_stats(cleaned, text_col="clean", key_col=key_col, ns=(2,))
     base = (
-        cleaned.withColumn("quality", quality_score("clean"))
-        .join(stats.select(key_col, "dup_word_frac", "top_2gram_frac"), key_col)
-        .join(docs.select(key_col, strata_col), key_col)
+        repetition_stats(
+            cleaned,
+            text_col="clean",
+            key_col=key_col,
+            ns=(2,),
+            carry=("clean", strata_col),
+        )
+        .drop("dup_line_frac", "dup_para_frac")
+        .withColumn("quality", quality_score("clean"))
     )
     # one materialization feeding every downstream consumer; with the
     # default barrier the first action below realizes it (lazy -> no

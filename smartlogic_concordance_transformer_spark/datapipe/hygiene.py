@@ -108,13 +108,21 @@ def flag_contaminated(
 
 
 def strip_boilerplate(
-    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", min_docs: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_docs: int = 2,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Remove boilerplate lines from every document.
 
-    Returns (key_col, clean_text): non-boilerplate lines rejoined with \\n
-    in original order; a document that was pure boilerplate yields ''.
-    """
+    Returns (key_col, *carry, clean_text): non-boilerplate lines rejoined
+    with \\n in original order; a document that was pure boilerplate
+    yields ''. ``carry`` (r8) passes metadata columns through on the
+    existing per-doc join — a downstream pipeline that needs, say, the
+    stratum column no longer pays a SECOND corpus-sized join against the
+    raw frame to get it back (at 100 TB that join is a full shuffle of
+    corpus keys)."""
     bp = boilerplate_lines(df, text_col, key_col, min_docs)
     lines = df.select(
         key_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
@@ -133,7 +141,7 @@ def strip_boilerplate(
     )
     # keep fully-boilerplate docs as empty strings rather than dropping them
     return (
-        df.select(key_col)
+        df.select(key_col, *carry)
         .join(reassembled, key_col, "left")
         .fillna({"clean_text": ""})
     )

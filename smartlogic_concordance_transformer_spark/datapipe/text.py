@@ -227,6 +227,7 @@ def _repetition_arrow(
     ns: tuple[int, ...],
     char_dup_ns: tuple[int, ...],
     char_coverage_ns: tuple[int, ...],
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Arrow-batched repetition kernel: every statistic computed per
     document in one pandas UDF, value-identical to the SQL fold.
@@ -344,9 +345,10 @@ def _repetition_arrow(
     # kernel below a pushed-down gate filter (two ArrowEvalPython nodes —
     # the pyfold.py lesson)
     rep_stats_udf = _rep_stats_udf.asNondeterministic()
-    staged = df.select(F.col(key_col), rep_stats_udf(c).alias("_st"))
+    staged = df.select(F.col(key_col), *carry, rep_stats_udf(c).alias("_st"))
     return staged.select(
         key_col,
+        *carry,
         *[F.round(F.col("_st")[f], 6).alias(f) for f in fields],
     )
 
@@ -360,6 +362,7 @@ def repetition_stats(
     hash_grams: bool = True,
     via: str = "arrow",
     char_coverage_ns: tuple[int, ...] = (),
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style repetition filter inputs (Rae et al. 2021, app. A1):
     per document, the duplicate-word / duplicate-line / duplicate-
@@ -454,12 +457,14 @@ def repetition_stats(
             "form's explode discards the gram positions the coverage union "
             "needs"
         )
+    if carry and via == "shuffle":
+        raise ValueError("carry requires via='arrow' or 'fold'")
     from .dedup import shingles
 
     c = F.coalesce(F.col(text_col), F.lit(""))
     if via == "arrow":
         return _repetition_arrow(
-            df, c, key_col, ns, char_dup_ns, char_coverage_ns
+            df, c, key_col, ns, char_dup_ns, char_coverage_ns, carry=carry
         )
     words = ws_tokens(c)
     lines = F.filter(
@@ -471,6 +476,7 @@ def repetition_stats(
     if via == "fold":
         frac_cols = [
             F.col(key_col),
+            *[F.col(x) for x in carry],
             _dup_frac(words).alias("dup_word_frac"),
             _dup_frac(lines).alias("dup_line_frac"),
             _dup_frac(paras).alias("dup_para_frac"),
