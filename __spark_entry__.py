@@ -842,32 +842,27 @@ _MINHASH_SEEDS = 8
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r8: in-row fold, same values. The signature is a per-document
-    # statistic (min md5 per seed over the SAME word multiset the old
-    # explode fed the 8-wide min aggregation), so nothing needs to leave
-    # the row: fold the word array once, updating every seed's min per
-    # element — transform's (value, index) int index renders to the
-    # identical "j:" prefix. "g" > any lowercase-hex digest, so it is the
-    # fold's identity element; least() on strings is the same binary
-    # comparison as min(). Zero shuffle (was: one exchange of every word
-    # occurrence + a 2-stage HashAggregate), oracle rows unchanged.
-    words = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
-    )
-    init = F.array_repeat(F.lit("g"), _MINHASH_SEEDS)
-    sig = F.aggregate(
-        words,
-        init,
-        lambda acc, w: F.transform(
-            acc,
-            lambda v, i: F.least(
-                v, F.md5(F.concat(i.cast("string"), F.lit(":"), w))
-            ),
-        ),
-    )
-    d = _spread(spark, _docs(spark, sf_dir)).filter(F.col("text").isNotNull())
-    return d.select(
-        "doc_id", F.array_join(sig, "|").alias("signature")
+    # NOTE (r8): an in-row fold variant (zero shuffle, same values) was
+    # tried and REVERTED with measurements: it won at sf0.1 (0.44s vs
+    # 0.93s — it skips the word-occurrence exchange's fixed cost) but
+    # lost 3x at a 10x corpus (3.00s vs 1.01s) because interpreted
+    # per-element md5+concat is far heavier than the codegen'd
+    # aggregation — a local-bench-only win. Unlike the xxhash64 MinHash
+    # fold in dedup.py (which stays within 15% at 10x), md5 through the
+    # interpreted HOF path does not hold at scale. See
+    # OPTIMIZATION_r08.md.
+    words = F.explode(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    ).alias("w")
+    exploded = _spread(spark, _docs(spark, sf_dir)).select("doc_id", words)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("w")))).alias(f"m{j}")
+        for j in range(_MINHASH_SEEDS)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id",
+        F.concat_ws("|", *[F.col(f"m{j}") for j in range(_MINHASH_SEEDS)]).alias("signature"),
     )
 
 
