@@ -16,6 +16,7 @@ bucketed by key.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,6 +39,95 @@ def boilerplate_lines(
     )
 
 
+def _flag_contaminated_arrow(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    key_col: str,
+    bench_text_col: str,
+    k: int,
+    min_overlap: int,
+) -> DataFrame:
+    """Arrow-batched decontamination kernel (r8): per-document distinct
+    gram set + overlap count against the broadcast benchmark dictionary,
+    computed in ONE pass over the corpus — no Generate, no join, no
+    shuffle. The former shape exploded ~n_tokens rows per document
+    through an interpreted-HOF gram build and hash-joined the expansion
+    against the broadcast dictionary; the kernel moves only (key, text)
+    across the Arrow boundary and hands each batch to a set-membership
+    loop (guide §4.2 — same argument as ``text._repetition_arrow``).
+
+    Exactness contract (pinned by
+    ``test_flag_contaminated_arrow_equals_join``): the tokenizer is the
+    shared Python twin of ``ws_tokens`` (Java ``\\s`` is ASCII-only,
+    ``F.trim`` strips 0x20 only, split on a literal space, full-Unicode
+    lower), the gram rule replicates ``shingles`` exactly (greatest(W-k+1,
+    1) grams, short docs yield one truncated gram, distinct-set
+    semantics), the BENCHMARK side's grams are still JVM-built (the same
+    expression the join path broadcasts, collected once — eval sets are
+    orders of magnitude smaller than the corpus, the operator's
+    documented broadcast assumption), counts are exact integers, and the
+    division + round(6) stay JVM-side through the identical expressions.
+    Null-text docs are pre-filtered — the join path drops them too (a
+    null gram never equi-joins)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from .dedup import shingles
+    from .text import _JAVA_WS
+
+    bench_grams = {
+        r[0]
+        for r in benchmark.select(
+            F.explode(shingles(bench_text_col, k)).alias("_g")
+        )
+        .distinct()
+        .collect()
+    }
+    bset = df.sparkSession.sparkContext.broadcast(bench_grams)
+    schema = T.StructType(
+        [
+            T.StructField("n_sh", T.IntegerType()),
+            T.StructField("n_overlap", T.LongType()),
+        ]
+    )
+
+    def one(s: str) -> tuple:
+        toks = _JAVA_WS.sub(" ", s).lower().strip(" ").split(" ")
+        n = max(len(toks) - (k - 1), 1)
+        gs = {" ".join(toks[i : i + k]) for i in range(n)}
+        bs = bset.value
+        return (len(gs), sum(1 for g in gs if g in bs))
+
+    @pandas_udf(schema)
+    def _overlap_udf(texts: pd.Series) -> pd.DataFrame:
+        rows = [one(t) for t in texts]
+        return pd.DataFrame(rows, columns=["n_sh", "n_overlap"])
+
+    # deterministic, but the flag stops the optimizer duplicating the
+    # kernel below the pushed-down min_overlap filter (two
+    # ArrowEvalPython nodes — guide §4.4, the repetition-kernel lesson)
+    overlap_udf = _overlap_udf.asNondeterministic()
+    staged = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(key_col), overlap_udf(F.col(text_col)).alias("_c")
+    )
+    return (
+        staged.select(
+            key_col,
+            F.col("_c.n_overlap").alias("n_overlap"),
+            F.col("_c.n_sh").alias("_n_sh"),
+        )
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select(
+            key_col,
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.greatest("_n_sh", F.lit(1)), 6).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
 def flag_contaminated(
     df: DataFrame,
     benchmark: DataFrame,
@@ -48,6 +138,7 @@ def flag_contaminated(
     min_overlap: int = 10,
     broadcast: bool = True,
     shingles_col: str | None = None,
+    via: str = "auto",
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing >=
     ``min_overlap`` DISTINCT word k-gram shingles with an
@@ -69,8 +160,28 @@ def flag_contaminated(
     transfers across document lengths (absolute counts over-flag long
     docs). The per-doc shingle total is in-row array math carried through
     the explode as a grouping key, so it costs no extra scan or join.
+
+    ``via`` (r8): 'arrow' computes the corpus side in one Arrow-batched
+    pass (no Generate, no join — see ``_flag_contaminated_arrow``);
+    'join' keeps the explode + hash-join plan; 'auto' (default) picks
+    'arrow' exactly when the dictionary is broadcastable and no
+    precomputed shingle column is supplied (a pipeline that already
+    barriered its shingle arrays keeps reading the column, and a
+    too-big-to-broadcast benchmark keeps the shuffle-join shape).
+    Both paths return identical rows (pinned by
+    ``test_flag_contaminated_arrow_equals_join``).
     """
     from .dedup import shingles
+
+    if via not in ("auto", "arrow", "join"):
+        raise ValueError(f"via must be auto|arrow|join, got {via!r}")
+    if via == "arrow" or (via == "auto" and broadcast and shingles_col is None):
+        if shingles_col is not None:
+            raise ValueError("via='arrow' rebuilds grams from text_col; "
+                             "drop shingles_col or pass via='join'")
+        return _flag_contaminated_arrow(
+            df, benchmark, text_col, key_col, bench_text_col, k, min_overlap
+        )
 
     bench = benchmark.select(
         F.explode(shingles(bench_text_col, k)).alias("_g")

@@ -500,6 +500,50 @@ def test_flag_contaminated(spark):
     }
 
 
+def test_flag_contaminated_arrow_equals_join(spark):
+    # r8: the default Arrow decontamination kernel must return rows
+    # IDENTICAL to the explode + hash-join plan — corpus-side grams are
+    # Python-built against the JVM-built dictionary, so the tokenizer/
+    # gram parity contract is exercised byte-for-byte through set
+    # membership. Adversarial rows: tabs/vertical-ws (Java \s is
+    # ASCII-only), NBSP (NOT Java \s), full-Unicode lower incl. U+0130,
+    # empty/null/whitespace-only docs, docs shorter than the gram size
+    # (one truncated gram), leading/trailing spaces, accents.
+    from smartlogic_concordance_transformer_spark.datapipe import flag_contaminated
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE\tQUICK brown  fox\n jumps"),
+        (3, ""),
+        (4, None),
+        (5, "one"),
+        (6, "İstanbul İstanbul i̇stanbul x y z"),
+        (7, "  leading and trailing   "),
+        (8, "a b nbsp is not java ws"),
+        (9, "a b c"),
+        (10, "a b c d"),
+        (11, "\x0b\f\r\t\n"),
+        (12, "ss ß STRASSE strasse"),
+        (13, "café CAFÉ naïve NAÏVE"),
+        (14, "a b c d e"),
+    ]
+    adv = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = adv.filter(F.col("doc_id").isin([1, 2, 3, 5, 6, 8, 12, 14]))
+    for mo in (1, 2):
+        arrow = {
+            tuple(r)
+            for r in flag_contaminated(adv, bench, k=3, min_overlap=mo).collect()
+        }
+        join = {
+            tuple(r)
+            for r in flag_contaminated(
+                adv, bench, k=3, min_overlap=mo, via="join"
+            ).collect()
+        }
+        assert arrow == join, (mo, arrow ^ join)
+    assert any(r.doc_id == 1 for r in flag_contaminated(adv, bench, k=3, min_overlap=1).collect())
+
+
 def test_langid_cjk_scripts(spark):
     rows = [
         (1, "これは日本語のテキストです"),

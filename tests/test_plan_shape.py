@@ -47,7 +47,27 @@ def test_decontaminate_builds_shingles_once(spark):
     # gram build on the raw scan partitions (3x wall). explode_outer gets
     # no inferred filter; the expensive build must appear ONCE on the
     # corpus side (the second occurrence is the benchmark side's own
-    # dictionary build).
+    # dictionary build). r8: pinned on the via='join' path — the default
+    # broadcastable-dictionary path is now the Arrow kernel, pinned by
+    # test_decontaminate_arrow_plan below.
+    from smartlogic_concordance_transformer_spark.datapipe.hygiene import (
+        flag_contaminated,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(4)
+    bench = docs.filter(F.pmod("doc_id", 50) == 0)
+    plan = _plan(flag_contaminated(docs, bench, k=3, min_overlap=10, via="join"))
+    assert plan.count("array_distinct") == 2, plan
+
+
+def test_decontaminate_arrow_plan(spark):
+    # the r8 default path: ONE Arrow kernel pass over the corpus — no
+    # Generate (the old ~n_tokens-per-doc explode), no Join, no Exchange
+    # in the returned plan (the benchmark dictionary is collected at
+    # construction and broadcast into the Python workers), and exactly
+    # one ArrowEvalPython even though the min_overlap filter sits above
+    # the kernel (asNondeterministic stops pushdown duplication —
+    # guide §4.4, the same pin as the KG fold's).
     from smartlogic_concordance_transformer_spark.datapipe.hygiene import (
         flag_contaminated,
     )
@@ -55,7 +75,11 @@ def test_decontaminate_builds_shingles_once(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(4)
     bench = docs.filter(F.pmod("doc_id", 50) == 0)
     plan = _plan(flag_contaminated(docs, bench, k=3, min_overlap=10))
-    assert plan.count("array_distinct") == 2, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+    # the only Exchange is the repartition(4) this test adds itself
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_column_pruning_reaches_scan(spark):
