@@ -47,6 +47,7 @@ def _flag_contaminated_arrow(
     bench_text_col: str,
     k: int,
     min_overlap: int,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Arrow-batched decontamination kernel (r8): per-document distinct
     gram set + overlap count against the broadcast benchmark dictionary,
@@ -69,7 +70,17 @@ def _flag_contaminated_arrow(
     documented broadcast assumption), counts are exact integers, and the
     division + round(6) stay JVM-side through the identical expressions.
     Null-text docs are pre-filtered — the join path drops them too (a
-    null gram never equi-joins)."""
+    null gram never equi-joins).
+
+    ``shingles_col``: consume a PRECOMPUTED shingle-array column instead
+    of rebuilding grams from text (the pipeline-composition hook). The
+    kernel then does pure membership counting over JVM-built strings on
+    both sides — no tokenization replication at all — and replicates the
+    explode + join + count semantics element-by-element (a duplicate
+    gram in the array counts twice, ``n_sh`` is the array length), so it
+    is faithful for arbitrary arrays, not just distinct ones. At scale
+    this removes the decon stage's per-document aggregation exchange:
+    the count never leaves the document's row."""
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
@@ -92,24 +103,37 @@ def _flag_contaminated_arrow(
         ]
     )
 
-    def one(s: str) -> tuple:
-        toks = _JAVA_WS.sub(" ", s).lower().strip(" ").split(" ")
-        n = max(len(toks) - (k - 1), 1)
-        gs = {" ".join(toks[i : i + k]) for i in range(n)}
-        bs = bset.value
-        return (len(gs), sum(1 for g in gs if g in bs))
+    if shingles_col is None:
+
+        def one(s: str) -> tuple:
+            toks = _JAVA_WS.sub(" ", s).lower().strip(" ").split(" ")
+            n = max(len(toks) - (k - 1), 1)
+            gs = {" ".join(toks[i : i + k]) for i in range(n)}
+            bs = bset.value
+            return (len(gs), sum(1 for g in gs if g in bs))
+
+    else:
+
+        def one(arr) -> tuple:
+            bs = bset.value
+            n_ov = 0
+            for g in arr:
+                if g in bs:
+                    n_ov += 1
+            return (len(arr), n_ov)
 
     @pandas_udf(schema)
-    def _overlap_udf(texts: pd.Series) -> pd.DataFrame:
-        rows = [one(t) for t in texts]
+    def _overlap_udf(cells: pd.Series) -> pd.DataFrame:
+        rows = [one(c) for c in cells]
         return pd.DataFrame(rows, columns=["n_sh", "n_overlap"])
 
     # deterministic, but the flag stops the optimizer duplicating the
     # kernel below the pushed-down min_overlap filter (two
     # ArrowEvalPython nodes — guide §4.4, the repetition-kernel lesson)
     overlap_udf = _overlap_udf.asNondeterministic()
-    staged = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(key_col), overlap_udf(F.col(text_col)).alias("_c")
+    in_col = shingles_col if shingles_col is not None else text_col
+    staged = df.filter(F.col(in_col).isNotNull()).select(
+        F.col(key_col), overlap_udf(F.col(in_col)).alias("_c")
     )
     return (
         staged.select(
@@ -162,25 +186,23 @@ def flag_contaminated(
     the explode as a grouping key, so it costs no extra scan or join.
 
     ``via`` (r8): 'arrow' computes the corpus side in one Arrow-batched
-    pass (no Generate, no join — see ``_flag_contaminated_arrow``);
-    'join' keeps the explode + hash-join plan; 'auto' (default) picks
-    'arrow' exactly when the dictionary is broadcastable and no
-    precomputed shingle column is supplied (a pipeline that already
-    barriered its shingle arrays keeps reading the column, and a
-    too-big-to-broadcast benchmark keeps the shuffle-join shape).
-    Both paths return identical rows (pinned by
+    pass (no Generate, no join, no aggregation exchange — see
+    ``_flag_contaminated_arrow``; with ``shingles_col`` it counts
+    membership over the precomputed arrays, with text it rebuilds the
+    grams in the kernel); 'join' keeps the explode + hash-join plan;
+    'auto' (default) picks 'arrow' exactly when the dictionary is
+    broadcastable (a too-big-to-broadcast benchmark keeps the
+    shuffle-join shape). Both paths return identical rows (pinned by
     ``test_flag_contaminated_arrow_equals_join``).
     """
     from .dedup import shingles
 
     if via not in ("auto", "arrow", "join"):
         raise ValueError(f"via must be auto|arrow|join, got {via!r}")
-    if via == "arrow" or (via == "auto" and broadcast and shingles_col is None):
-        if shingles_col is not None:
-            raise ValueError("via='arrow' rebuilds grams from text_col; "
-                             "drop shingles_col or pass via='join'")
+    if via == "arrow" or (via == "auto" and broadcast):
         return _flag_contaminated_arrow(
-            df, benchmark, text_col, key_col, bench_text_col, k, min_overlap
+            df, benchmark, text_col, key_col, bench_text_col, k, min_overlap,
+            shingles_col=shingles_col,
         )
 
     bench = benchmark.select(

@@ -542,6 +542,40 @@ def test_flag_contaminated_arrow_equals_join(spark):
         }
         assert arrow == join, (mo, arrow ^ join)
     assert any(r.doc_id == 1 for r in flag_contaminated(adv, bench, k=3, min_overlap=1).collect())
+    # precomputed-shingles path: the kernel counts membership over the
+    # JVM-built arrays (duplicate grams count per occurrence, n_sh is the
+    # array length) — must equal the explode + join + count plan, incl.
+    # over a deliberately NON-distinct array
+    from smartlogic_concordance_transformer_spark.datapipe import shingles
+
+    pre = adv.withColumn("_sh", shingles("text", 3))
+    pa = {
+        tuple(r)
+        for r in flag_contaminated(
+            pre, bench, k=3, min_overlap=1, shingles_col="_sh"
+        ).collect()
+    }
+    pj = {
+        tuple(r)
+        for r in flag_contaminated(
+            pre, bench, k=3, min_overlap=1, shingles_col="_sh", via="join"
+        ).collect()
+    }
+    assert pa == pj, pa ^ pj
+    dup_arr = adv.withColumn("_sh", shingles("text", 3, distinct=False))
+    da = {
+        tuple(r)
+        for r in flag_contaminated(
+            dup_arr, bench, k=3, min_overlap=1, shingles_col="_sh"
+        ).collect()
+    }
+    dj = {
+        tuple(r)
+        for r in flag_contaminated(
+            dup_arr, bench, k=3, min_overlap=1, shingles_col="_sh", via="join"
+        ).collect()
+    }
+    assert da == dj, da ^ dj
 
 
 def test_langid_cjk_scripts(spark):
