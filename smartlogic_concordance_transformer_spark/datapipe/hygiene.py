@@ -246,6 +246,7 @@ def strip_boilerplate(
     key_col: str = "doc_id",
     min_docs: int = 2,
     carry: tuple[str, ...] = (),
+    via: str = "auto",
 ) -> DataFrame:
     """Remove boilerplate lines from every document.
 
@@ -255,7 +256,57 @@ def strip_boilerplate(
     existing per-doc join — a downstream pipeline that needs, say, the
     stratum column no longer pays a SECOND corpus-sized join against the
     raw frame to get it back (at 100 TB that join is a full shuffle of
-    corpus keys)."""
+    corpus keys).
+
+    ``via`` (r8): stripping is a pure per-document rewrite once the
+    recurring-line dictionary exists, and the dictionary is the thing
+    the join path already assumes broadcastable. 'arrow' collects it
+    once and rewrites each document in ONE Arrow-batched pass — the
+    corpus is never exploded by line, never re-grouped by key, and
+    never joined back: at 100 TB the 'join' plan's reassembly groupBy
+    and carry join are two full corpus-text exchanges, and the kernel
+    has zero. 'join' keeps the explode -> broadcast-anti-join ->
+    reassemble -> join-back plan (and is the path for dictionaries too
+    big to hold per worker). 'auto' (default) = 'arrow'. Exactness: the
+    kernel replicates the JVM line semantics exactly — split on a
+    literal newline (trailing empty lines kept), ``F.trim`` strips
+    0x20 only, membership against the identical JVM-built dictionary
+    strings — pinned row-identical to the join plan by
+    ``test_strip_boilerplate_arrow_equals_join``. Keys are assumed
+    unique per row (the corpus contract; the join path's line-merging
+    behaviour on duplicate keys was an artifact of the groupBy, not a
+    semantic)."""
+    if via not in ("auto", "arrow", "join"):
+        raise ValueError(f"via must be auto|arrow|join, got {via!r}")
+    if via in ("auto", "arrow"):
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        bp_set = {
+            r[0]
+            for r in boilerplate_lines(df, text_col, key_col, min_docs).collect()
+        }
+        bset = df.sparkSession.sparkContext.broadcast(bp_set)
+
+        def one(s: str) -> str:
+            if s is None:
+                return ""
+            bs = bset.value
+            return "\n".join(
+                line for line in s.split("\n") if line.strip(" ") not in bs
+            )
+
+        @pandas_udf(T.StringType())
+        def _strip_udf(texts: pd.Series) -> pd.Series:
+            return pd.Series([one(t) for t in texts], dtype="object")
+
+        # deterministic, but the flag stops pushed-down downstream
+        # filters from duplicating the kernel (guide §4.4)
+        strip_udf = _strip_udf.asNondeterministic()
+        return df.select(
+            key_col, *carry, strip_udf(F.col(text_col)).alias("clean_text")
+        )
+
     bp = boilerplate_lines(df, text_col, key_col, min_docs)
     lines = df.select(
         key_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")

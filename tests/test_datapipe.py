@@ -245,6 +245,47 @@ def test_strip_boilerplate(spark):
     assert set(out) == {0, 1, 2, 3, 9}
 
 
+def test_strip_boilerplate_arrow_equals_join(spark):
+    # r8: the default Arrow rewrite kernel must return rows IDENTICAL to
+    # the explode -> broadcast-anti-join -> reassemble -> join-back plan.
+    # Adversarial rows: lines matching the dictionary only modulo
+    # 0x20-trim (F.trim strips spaces only — tab-prefixed lines are
+    # DIFFERENT dictionary keys), \r kept by the literal-\n split,
+    # trailing newline (trailing empty line preserved), interior empty
+    # lines, pure-boilerplate docs, null and empty texts, docs with no
+    # newline at all, and carry columns.
+    from smartlogic_concordance_transformer_spark.datapipe import strip_boilerplate
+
+    hdr = "== accept cookies =="
+    rows = [
+        (0, "s0", f"{hdr}\nbody zero\n\nmore zero"),
+        (1, "s0", f"  {hdr}  \nbody one\r\nbody one b"),   # trims to hdr; \r survives split
+        (2, "s1", f"\t{hdr}\nbody two"),                   # tab-prefixed: NOT the dictionary line
+        (3, "s1", f"{hdr}\n{hdr}"),                        # pure boilerplate -> ''
+        (4, "s0", f"{hdr}\nbody four\n"),                  # trailing newline -> trailing empty line
+        (5, "s1", None),
+        (6, "s0", ""),
+        (7, "s1", "single line no newline"),
+        (8, "s0", hdr),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = {
+        tuple(r)
+        for r in strip_boilerplate(df, min_docs=3, carry=("source",)).collect()
+    }
+    j = {
+        tuple(r)
+        for r in strip_boilerplate(
+            df, min_docs=3, carry=("source",), via="join"
+        ).collect()
+    }
+    assert a == j, a ^ j
+    got = {r[0]: r[2] for r in a}
+    assert got[2] == f"\t{hdr}\nbody two"  # tab line kept: trim is 0x20-only
+    assert got[3] == "" and got[5] == "" and got[6] == ""
+    assert got[4] == "body four\n"  # trailing empty line survives
+
+
 def test_repetition_stats(spark):
     from smartlogic_concordance_transformer_spark.datapipe import repetition_stats
 

@@ -168,10 +168,26 @@ def test_strip_boilerplate_uses_broadcast_antijoin(spark):
     from smartlogic_concordance_transformer_spark.datapipe import strip_boilerplate
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(strip_boilerplate(docs))
+    plan = _plan(strip_boilerplate(docs, via="join"))
     # the recurring-line dictionary is broadcast; the big exploded side is
     # never shuffled for the anti-join
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_strip_boilerplate_arrow_plan(spark):
+    # the r8 default: one Arrow kernel pass rewrites every document
+    # against the collected dictionary — the returned plan has no
+    # Generate (line explode), no Exchange (the join path's reassembly
+    # groupBy + carry join are two corpus-text shuffles at scale), no
+    # Join, and exactly one ArrowEvalPython.
+    from smartlogic_concordance_transformer_spark.datapipe import strip_boilerplate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(strip_boilerplate(docs))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Generate" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_winnow_pairs_has_no_cartesian_product(spark):
