@@ -159,12 +159,18 @@ def connected_components(
             continue
         fp = _fingerprint(cur)
         if fp == prev_fp:
-            # star forest: every remaining edge points node -> root
+            # star forest: every remaining edge points node -> root.
+            # r8: NO distinct on the assembled output — members rows are
+            # unique (cur is distinct), roots rows are unique (their own
+            # distinct), and the two sets are disjoint (members have
+            # node != component by the u != v filter, roots have node ==
+            # component), so the old trailing distinct was a full
+            # output-sized Exchange that could never remove a row.
             roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
                 "component", F.col("node")
             )
             members = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
-            return members.unionByName(roots).distinct()
+            return members.unionByName(roots)
         prev_fp = fp
     raise ConvergenceError(f"connected_components did not converge in {max_iter} iterations")
 
