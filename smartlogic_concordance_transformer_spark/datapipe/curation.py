@@ -195,19 +195,38 @@ def pretraining_pipeline(
         drops_clf = None
         s1 = base.filter(q_ok & r_ok)
 
-    # -- exact dedup (lowest key survives). s2 is checkpointed with the
-    # doc's shingle SET materialized as a column: four downstream
-    # consumers (signatures, pair verify x2, decontamination) read the
-    # column instead of each rebuilding the gram expression — one gram
-    # build per doc and one optimization of that tree, not four.
+    # -- exact dedup (lowest key survives). r8: decide with small rows,
+    # move big rows never (guide §8) — the former shape ranked a window
+    # partitioned by sha2(clean) over the FULL base rows, i.e. the whole
+    # cleaned corpus (text + stats + stratum) crossed one exchange keyed
+    # by content hash. The decision only needs (key, hash): rank a slim
+    # two-column projection, keep the loser KEYS (exact-duplicate docs —
+    # small relative to the corpus), and attach them with semi/anti
+    # joins on the doc key. Locally AQE broadcasts the loser set (no
+    # corpus shuffle at all); at run scale the base is a persisted table
+    # bucketed by key, so the id-keyed attach is co-partitioned where a
+    # content-hash window could never be. The loser set is identical to
+    # the window's _rn > 1 rows by construction (same partition key,
+    # same orderBy, same row_number rule).
+    #
+    # s2 is checkpointed with the doc's shingle SET materialized as a
+    # column: four downstream consumers (signatures, pair verify x2,
+    # decontamination) read the column instead of each rebuilding the
+    # gram expression — one gram build per doc and one optimization of
+    # that tree, not four.
     from .dedup import shingles
 
-    w = Window.partitionBy(F.sha2(F.col("clean"), 256)).orderBy(key_col)
-    s1n = s1.withColumn("_rn", F.row_number().over(w))
-    drops_exact = _drop(s1n.filter(F.col("_rn") > 1), key_col, "exact_dup")
+    w = Window.partitionBy("_h").orderBy(key_col)
+    losers = (
+        s1.select(key_col, F.sha2(F.col("clean"), 256).alias("_h"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(key_col)
+        .localCheckpoint(eager=False)
+    )
+    drops_exact = _drop(losers, key_col, "exact_dup")
     s2 = (
-        s1n.filter(F.col("_rn") == 1)
-        .drop("_rn")
+        s1.join(losers, key_col, "left_anti")
         .withColumn("_sh", shingles("clean", shingle_k))
     )
     s2 = barrier(s2, "s2")
