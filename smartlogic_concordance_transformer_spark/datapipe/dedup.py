@@ -25,16 +25,31 @@ from pyspark.sql import functions as F
 
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Keep one row per distinct text (lowest key wins). Returns the
-    surviving rows. Hash first so the shuffle carries 32 bytes, not the
-    document body."""
+    surviving rows.
+
+    r8, guide §8 (decide with small rows, move big rows never): the
+    former shape ranked a window partitioned by the content hash over
+    the FULL input rows — hashing first did not slim the exchange, the
+    whole document body still crossed it as window-partition payload.
+    Now the ranking runs over a (key, hash) projection only, the loser
+    KEYS (exact-duplicate rows — small relative to the corpus) come
+    back, and the survivors are an anti-join on the document key: the
+    loser set broadcasts when small, and at run scale a key-bucketed
+    corpus co-partitions the attach where a content-hash window never
+    could. The corpus body crosses the network zero times. Survivor
+    rows are identical (same partition key, same orderBy, same
+    row_number rule); the slim frame's lineage is cut so the hash pass
+    runs once, not once per consumer of the anti-join."""
     h = F.sha2(F.col(text_col), 256).alias("_content_hash")
     w = Window.partitionBy("_content_hash").orderBy(key_col)
-    return (
-        df.withColumn("_content_hash", h)
+    losers = (
+        df.select(F.col(key_col), h)
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_content_hash", "_rn")
+        .filter(F.col("_rn") > 1)
+        .select(key_col)
+        .localCheckpoint(eager=False)
     )
+    return df.join(losers, key_col, "left_anti")
 
 
 def paragraph_dedup(
@@ -57,71 +72,54 @@ def paragraph_dedup(
     null when the input text is null) and ``n_dropped`` (paragraphs
     excised); all other columns pass through.
 
-    Scale shape: the winner election groups by ``sha2(paragraph)`` so the
-    aggregation shuffle carries 32-byte hashes plus ``(key, idx)``, never
-    the text (the ``exact_dedup`` discipline). The paragraph stream itself
-    crosses the wire twice — once keyed by hash for the survivor filter,
-    once keyed by document for the rebuild — which is the floor for a
-    rebuild-in-place operator; the rebuild's ``collect_list`` is bounded
-    by a single document's paragraph count, never corpus-sized. ``sep``
-    is a literal separator (regex-escaped for the split).
+    Scale shape (r8, guide §8 — decide with small rows, move big rows
+    never): the winner election groups by ``sha2(paragraph)`` over a
+    SLIM (key, idx, hash) stream — the paragraph text is dropped in-row
+    before anything shuffles. The election's output is the per-document
+    list of DROPPED paragraph indices (bounded by a document's own
+    paragraph count; only documents that lose a paragraph appear), and
+    each document is rebuilt in place with an index-aware array filter
+    over its own split — so the corpus text crosses the network ZERO
+    times (the former shape shuffled the full paragraph stream twice:
+    hash-keyed for the survivor filter, doc-keyed for the collect_list
+    rebuild, then joined the corpus a third time). The drop-list attach
+    broadcasts when small and co-partitions against a key-bucketed
+    corpus at run scale. ``sep`` is a literal separator (regex-escaped
+    for the split).
     """
     import re as _re
 
     key = F.col(key_col)
-    ex = df.select(
+    parts = F.split(F.col(text_col), _re.escape(sep))
+    slim = df.select(key, F.posexplode(parts).alias("_idx", "_para")).select(
         key,
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
-            "_idx", "_para"
-        ),
+        "_idx",
+        F.when(F.length("_para") >= min_chars, F.sha2("_para", 256)).alias("_ph"),
     )
-    hashed = ex.withColumn(
-        "_ph", F.when(F.length("_para") >= min_chars, F.sha2("_para", 256))
+    hashed = slim.filter(F.col("_ph").isNotNull())
+    winners = hashed.groupBy("_ph").agg(
+        F.min(F.struct(key.alias("k"), F.col("_idx").alias("i"))).alias("_w")
     )
-    winners = (
-        hashed.filter(F.col("_ph").isNotNull())
-        .groupBy("_ph")
-        .agg(
-            F.min(F.struct(key.alias("k"), F.col("_idx").alias("i"))).alias("_w")
-        )
+    drops = hashed.join(winners, "_ph").filter(
+        (F.col("_w.k") != key) | (F.col("_w.i") != F.col("_idx"))
     )
-    surv = hashed.join(winners, "_ph", "left").filter(
-        F.col("_ph").isNull()
-        | ((F.col("_w.k") == key) & (F.col("_w.i") == F.col("_idx")))
+    drop_lists = drops.groupBy(key_col).agg(
+        F.array_sort(F.collect_list("_idx")).alias("_drop_idx")
     )
-    per_doc = surv.groupBy(key_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("_idx").alias("i"), F.col("_para").alias("p")
-                        )
-                    )
-                ),
-                lambda s: s["p"],
-            ),
-            sep,
-        ).alias("_clean"),
-        F.count(F.lit(1)).alias("_kept"),
+    di = F.coalesce(F.col("_drop_idx"), F.array().cast("array<int>"))
+    rebuilt = F.array_join(
+        F.filter(parts, lambda p, i: ~F.array_contains(di, i)), sep
     )
-    totals = ex.groupBy(key_col).agg(F.count(F.lit(1)).alias("_total"))
     return (
-        df.join(per_doc, key_col, "left")
-        .join(totals, key_col, "left")
+        df.join(drop_lists, key_col, "left")
         .withColumn(
             clean_col,
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
-                F.coalesce("_clean", F.lit(""))
-            ),
+            F.when(
+                F.col(text_col).isNull(), F.lit(None).cast("string")
+            ).otherwise(rebuilt),
         )
-        .withColumn(
-            "n_dropped",
-            (F.coalesce("_total", F.lit(0)) - F.coalesce("_kept", F.lit(0))).cast(
-                "int"
-            ),
-        )
-        .drop("_clean", "_kept", "_total")
+        .withColumn("n_dropped", F.size(di).cast("int"))
+        .drop("_drop_idx")
     )
 
 
